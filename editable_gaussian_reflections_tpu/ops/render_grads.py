@@ -1,0 +1,247 @@
+"""Hand-written, loss-fused render backward.
+
+TPU-native twin of reference editable_gauss_refl/cuda/csrc/backward_pass.cu.
+The reference's training gradients are deliberately *not* autograd: L1-sign
+loss gradients with per-attribute weights, no pixel averaging
+(backward_pass.cu:81), truncated-tail correction terms, roughness
+downweighting, and no gradient flow through the bounce chain (throughput and
+bounce directions are treated as constants).  PSNR-parity training dynamics
+depend on matching this algebra, so we re-implement it exactly - vectorized
+over the [R, K] hit records instead of a per-pixel linked-list walk.
+
+Key transformation: the reference's back-to-front "weighted deltas"
+accumulators (backward_pass.cu:17-148) telescope into
+    wd_i = c_i * T_i - sum_{j>i} w_j c_j
+which we evaluate with reverse cumulative sums along the hit axis - the same
+O(K) work without the sequential scan.
+
+The per-Gaussian atomicAdd scatter (backward_pass.cu:209-220) becomes a
+deterministic segment-sum, which also removes float-atomic nondeterminism.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .activations import backward_normalize_act, backward_sigmoid_act
+from .composite import CompositeOut
+from .gaussian_kernel import MAX_ALPHA
+from .trace import RayHits
+
+
+class ParamGrads(NamedTuple):
+    """Gradients w.r.t. the *raw* (pre-activation) Gaussian parameters."""
+
+    mean: jnp.ndarray       # [N, 3]
+    scale: jnp.ndarray      # [N, 3]
+    rotation: jnp.ndarray   # [N, 4]
+    opacity: jnp.ndarray    # [N]
+    rgb: jnp.ndarray        # [N, 3]
+    normal: jnp.ndarray     # [N, 3]
+    f0: jnp.ndarray         # [N, 3]
+    roughness: jnp.ndarray  # [N]
+    total_weight: jnp.ndarray  # [N]
+
+    def __add__(self, other):
+        return ParamGrads(*(a + b for a, b in zip(self, other)))
+
+
+def zero_grads(num_gaussians, dtype=jnp.float32) -> ParamGrads:
+    z = lambda *s: jnp.zeros(s, dtype)
+    n = num_gaussians
+    return ParamGrads(z(n, 3), z(n, 3), z(n, 4), z(n), z(n, 3), z(n, 3),
+                      z(n, 3), z(n), z(n))
+
+
+def sign(x):
+    """misc.cu sign: -1/0/+1."""
+    return jnp.sign(x)
+
+
+def _rev_cumsum_inclusive(x, axis=1):
+    """sum_{j>=i} x_j along `axis`."""
+    return jnp.flip(jnp.cumsum(jnp.flip(x, axis), axis), axis)
+
+
+def _weighted_deltas(c, w, T_after):
+    """wd_i = c_i * T_i - sum_{j>i} w_j c_j  (see module docstring).
+
+    c: [R, K] or [R, K, 3]; w, T_after: [R, K].
+    """
+    if c.ndim == 3:
+        w = w[..., None]
+        T_after = T_after[..., None]
+    s = _rev_cumsum_inclusive(w * c)
+    return c * T_after - (s - w * c)
+
+
+def backward_step(
+    hits: RayHits,
+    comp: CompositeOut,
+    # gathered per-(ray,hit) Gaussian data
+    g_rgb, g_normal, g_f0, g_roughness,   # activated, [R,K,3]/[R,K]
+    g_opacity,                            # activated (sigmoid), [R,K]
+    g_scaling,                            # activated exp(scale), [R,K,3]
+    g_rotation_raw,                       # raw quaternion, [R,K,4]
+    g_rot,                                # rotation matrix of normalized quat, [R,K,3,3]
+    g_inv_sizes,                          # 1/(exp(scale)*sf*gsf), [R,K,3]
+    g_sf,                                 # scaling factor, [R,K]
+    # per-ray upstream loss gradients (already weighted/signed by the caller)
+    dL_drgb,                              # [R, 3]
+    dL_dnormal, dL_df0,                   # [R, 3]
+    dL_droughness, dL_ddepth,             # [R]
+    exp_power,
+    eps_scale_grad,
+    num_gaussians,
+    global_scale_factor=1.0,
+):
+    """One bounce step of the loss-fused backward; returns per-hit grads.
+
+    Output grads are scattered into [N] buffers by `scatter_grads`.
+    """
+    mask = comp.comp_mask
+    w = comp.weight                                   # [R, K] = T_before*alpha
+    T_after = comp.T_after
+    alpha = jnp.where(mask, hits.alpha, 0.0)
+    one_minus = jnp.maximum(1.0 - alpha, 1e-6)        # alpha <= MAX_ALPHA
+
+    # * Color-like attribute gradients (backward_pass.cu:110-115).
+    # The reference calls backward_act with the *activated* value, which makes
+    # relu/clipped-relu backward pass-through (y is always inside the active
+    # region post-activation) - replicated faithfully.
+    dL_dg_rgb = dL_drgb[:, None, :] * w[..., None]
+    dL_dg_normal = dL_dnormal[:, None, :] * w[..., None]
+    dL_dg_f0 = dL_df0[:, None, :] * w[..., None]
+    dL_dg_roughness = dL_droughness[:, None] * w
+
+    # * Weighted deltas -> alpha gradient (backward_pass.cu:117-135)
+    wd_rgb = _weighted_deltas(g_rgb, w, T_after)
+    wd_normal = _weighted_deltas(g_normal, w, T_after)
+    wd_f0 = _weighted_deltas(g_f0, w, T_after)
+    wd_rough = _weighted_deltas(g_roughness, w, T_after)
+    wd_depth = _weighted_deltas(hits.t, w, T_after)
+
+    inv1m = 1.0 / one_minus
+    dL_dalpha = (
+        jnp.sum(wd_rgb * dL_drgb[:, None, :], axis=-1)
+        + jnp.sum(wd_normal * dL_dnormal[:, None, :], axis=-1)
+        + jnp.sum(wd_f0 * dL_df0[:, None, :], axis=-1)
+        + wd_rough * dL_droughness[:, None]
+        + wd_depth * dL_ddepth[:, None]
+    ) * inv1m
+
+    # * Truncated-tail term (backward_pass.cu:137-148)
+    tmp2 = -((comp.T_final - comp.full_T)[:, None]) * inv1m
+    tail_dot = (
+        jnp.sum(comp.remaining_rgb * dL_drgb, axis=-1)
+        + jnp.sum(comp.remaining_normal * dL_dnormal, axis=-1)
+        + jnp.sum(comp.remaining_f0 * dL_df0, axis=-1)
+        + comp.remaining_roughness * dL_droughness
+        + comp.remaining_depth * dL_ddepth
+    )
+    dL_dalpha = dL_dalpha + tmp2 * tail_dot[:, None]
+
+    # * Opacity gradient (backward_pass.cu:150-152)
+    dL_dg_opacity = backward_sigmoid_act(
+        MAX_ALPHA * dL_dalpha * hits.gaussval, g_opacity
+    )
+
+    # * Transform gradients (backward_pass.cu:154-207)
+    dL_dgaussval = MAX_ALPHA * dL_dalpha * g_opacity
+    sq_norm = jnp.sum(hits.local_hit * hits.local_hit, axis=-1)
+    dL_dsq = hits.gaussval * jnp.power(jnp.maximum(sq_norm, 1e-20), exp_power - 1.0)
+    dL_dx_local = -hits.local_hit * (dL_dsq * dL_dgaussval)[..., None]
+
+    # dL_dx_world = sf * R @ (inv_sizes * dL_dx_local)
+    # (world_to_local = diag(inv_sizes) R^T; its transpose is R diag(inv_sizes))
+    scaled_local = g_inv_sizes * dL_dx_local
+    dL_dx_world = (
+        jnp.sum(g_rot * scaled_local[..., None, :], axis=-1) * g_sf[..., None]
+    )
+    dL_dg_mean = -dL_dx_world
+
+    # local-to-world rows: l2w[r_, c] = sizes[c] * R[r_, c]
+    sizes = g_scaling * (g_sf[..., None] * global_scale_factor)
+    l2w = g_rot * sizes[..., None, :]                  # [R,K,3,3]
+    # dL_dl2w[r_, c] = -dL_dx_world[r_] * local_hit[c]
+    dL_dl2w = -dL_dx_world[..., :, None] * hits.local_hit[..., None, :]
+
+    # * Scaling gradient (backward_pass.cu:181-187)
+    denom = g_scaling * g_sf[..., None] + eps_scale_grad
+    rot_over = l2w / denom[..., None, :]
+    dL_dscale_act = jnp.sum(dL_dl2w * rot_over, axis=-2)   # sum over rows
+    dL_dg_scale = dL_dscale_act * g_scaling                # backward_exp_act
+
+    # * Rotation gradient (backward_pass.cu:189-207)
+    dL_drot = dL_dl2w * g_scaling[..., None, :]            # [R,K,3,3]
+    q = g_rotation_raw / jnp.linalg.norm(g_rotation_raw, axis=-1, keepdims=True)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    d = dL_drot
+    dL_dr = (
+        2.0 * x * (d[..., 2, 1] - d[..., 1, 2])
+        + 2.0 * y * (d[..., 0, 2] - d[..., 2, 0])
+        + 2.0 * z * (d[..., 1, 0] - d[..., 0, 1])
+    )
+    dL_dx = (
+        -4.0 * x * (d[..., 1, 1] + d[..., 2, 2])
+        + 2.0 * y * (d[..., 0, 1] + d[..., 1, 0])
+        + 2.0 * z * (d[..., 0, 2] + d[..., 2, 0])
+        + 2.0 * r * (d[..., 2, 1] - d[..., 1, 2])
+    )
+    dL_dy = (
+        2.0 * x * (d[..., 0, 1] + d[..., 1, 0])
+        - 4.0 * y * (d[..., 0, 0] + d[..., 2, 2])
+        + 2.0 * z * (d[..., 1, 2] + d[..., 2, 1])
+        + 2.0 * r * (d[..., 0, 2] - d[..., 2, 0])
+    )
+    dL_dz = (
+        2.0 * x * (d[..., 0, 2] + d[..., 2, 0])
+        + 2.0 * y * (d[..., 1, 2] + d[..., 2, 1])
+        - 4.0 * z * (d[..., 0, 0] + d[..., 1, 1])
+        + 2.0 * r * (d[..., 1, 0] - d[..., 0, 1])
+    )
+    dL_dquat = jnp.stack([dL_dr, dL_dx, dL_dy, dL_dz], axis=-1)
+    dL_dg_rotation = backward_normalize_act(dL_dquat, g_rotation_raw, q)
+
+    m = mask.astype(dL_dalpha.dtype)
+    m3 = m[..., None]
+    return dict(
+        mean=dL_dg_mean * m3,
+        scale=dL_dg_scale * m3,
+        rotation=dL_dg_rotation * m[..., None],
+        opacity=dL_dg_opacity * m,
+        rgb=dL_dg_rgb * m3,
+        normal=dL_dg_normal * m3,
+        f0=dL_dg_f0 * m3,
+        roughness=dL_dg_roughness * m,
+        total_weight=w * m,
+    )
+
+
+def scatter_grads(per_hit: dict, ids, num_gaussians) -> ParamGrads:
+    """Deterministic segment-sum scatter of per-hit grads into [N] buffers.
+
+    Replaces the reference's atomicAddX flush (backward_pass.cu:209-220).
+    """
+    flat_ids = ids.reshape(-1)
+
+    def scat(v, ncols=None):
+        if v.ndim == 3:
+            flat = v.reshape(-1, v.shape[-1])
+            return jnp.zeros((num_gaussians, v.shape[-1]), v.dtype).at[flat_ids].add(flat)
+        flat = v.reshape(-1)
+        return jnp.zeros((num_gaussians,), v.dtype).at[flat_ids].add(flat)
+
+    return ParamGrads(
+        mean=scat(per_hit["mean"]),
+        scale=scat(per_hit["scale"]),
+        rotation=scat(per_hit["rotation"]),
+        opacity=scat(per_hit["opacity"]),
+        rgb=scat(per_hit["rgb"]),
+        normal=scat(per_hit["normal"]),
+        f0=scat(per_hit["f0"]),
+        roughness=scat(per_hit["roughness"]),
+        total_weight=scat(per_hit["total_weight"]),
+    )

@@ -1,0 +1,336 @@
+"""The raytracer core: bounce loop, compositing, and loss-fused backward.
+
+TPU-native twin of the OptiX __raygen__rg megakernel
+(reference editable_gauss_refl/cuda/csrc/shaders.cu:77-173) restructured
+wavefront-style: all rays advance one bounce together (a Python-unrolled loop
+over <= MAX_BOUNCES+1 full-frame passes), with per-ray liveness masks instead
+of per-thread breaks.  The device-resident mutable Config
+(cuda/csrc/core/config.h) becomes the RenderSettings pytree of traced scalars
+passed into the jitted step - mutate on the host, no recompile.
+
+Rays are processed in fixed-size tiles via lax.scan to bound memory (the
+[tile, chunk] intersection blocks and [tile, K] hit records live in VMEM/HBM
+only per-tile); gradients accumulate across tiles inside the scan carry.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import ggx
+from ..ops.camera_rays import primary_ray_directions
+from ..ops.composite import composite
+from ..ops.gaussian_kernel import (
+    MAX_BOUNCES,
+    ROUGHNESS_DOWNWEIGHT_GRAD,
+    ROUGHNESS_DOWNWEIGHT_GRAD_POWER,
+)
+from ..ops.render_grads import backward_step, scatter_grads, sign, zero_grads
+from ..ops.trace import gather_frames, trace_rays
+from ..scene.gaussian_scene import GaussianScene, build_frames
+
+
+class RenderSettings(NamedTuple):
+    """Traced runtime knobs (cuda/csrc/core/config.h:31-51 defaults)."""
+
+    exp_power: float = 3.0
+    alpha_threshold: float = 0.005
+    transmittance_threshold: float = 0.01
+    global_scale_factor: float = 1.0
+    loss_weight_diffuse: float = 1.0
+    loss_weight_specular: float = 1.0
+    loss_weight_depth: float = 1.0
+    loss_weight_normal: float = 1.0
+    loss_weight_f0: float = 1.0
+    loss_weight_roughness: float = 1.0
+    eps_forward_normalization: float = 1e-12
+    eps_scale_grad: float = 1e-12
+    eps_ray_surface_offset: float = 0.01
+    eps_min_roughness: float = 0.01
+    reflection_invalid_normal_threshold: float = 0.7
+    backfacing_invalid_normal_threshold: float = 0.9
+    backfacing_max_dist: float = 0.1
+
+
+class CameraParams(NamedTuple):
+    """Pose + intrinsics (cuda/csrc/core/camera.h:8-36)."""
+
+    origin: jnp.ndarray          # [3]
+    c2w: jnp.ndarray             # [3, 3]
+    fov_y: jnp.ndarray           # scalar, radians
+    znear: jnp.ndarray           # scalar
+    zfar: jnp.ndarray            # scalar
+
+
+class StepOutputs(NamedTuple):
+    """Per-bounce-step framebuffer slices, [S, R, ...] stacked over steps."""
+
+    rgb: jnp.ndarray             # [S, R, 3] (throughput-premultiplied)
+    normal: jnp.ndarray          # [S, R, 3]
+    f0: jnp.ndarray              # [S, R, 3]
+    roughness: jnp.ndarray       # [S, R]
+    depth: jnp.ndarray           # [S, R]
+    transmittance: jnp.ndarray   # [S, R] T_final per step
+    total_transmittance: jnp.ndarray  # [S, R] exact full_T per step
+    throughput: jnp.ndarray      # [S, R, 3]
+    alive: jnp.ndarray           # [S, R] ray was active at this step
+
+
+class RayTargets(NamedTuple):
+    """Per-ray supervision targets (framebuffer.h:145-152)."""
+
+    diffuse: jnp.ndarray         # [R, 3]
+    specular: jnp.ndarray        # [R, 3]
+    depth: jnp.ndarray           # [R]
+    normal: jnp.ndarray          # [R, 3]
+    roughness: jnp.ndarray       # [R]
+    f0: jnp.ndarray              # [R, 3]
+
+
+def _mask_hits(hits, alive):
+    """Disable hits of dead rays (wavefront substitute for per-thread break)."""
+    valid = hits.valid & alive[:, None]
+    return hits._replace(
+        valid=valid,
+        alpha=jnp.where(valid, hits.alpha, 0.0),
+        full_T=jnp.where(alive, hits.full_T, 1.0),
+    )
+
+
+def render_tile(
+    rays_o,               # [R, 3]
+    rays_d,               # [R, 3]
+    frames,
+    attrs,
+    settings: RenderSettings,
+    znear,
+    zfar,
+    key,
+    num_bounces: int,
+    max_hits: int,
+    chunk: int,
+    keep_residuals: bool = False,
+):
+    """Forward bounce loop for one ray tile.
+
+    Returns (StepOutputs, final_rgb, residuals) where residuals is a list of
+    (hits, comp, gathered-attr) tuples per step when keep_residuals.
+    """
+    R = rays_o.shape[0]
+    dtype = rays_o.dtype
+    num_steps = num_bounces + 1
+
+    alive = jnp.ones((R,), bool)
+    throughput = jnp.ones((R, 3), dtype)
+    outs = []
+    residuals = []
+
+    for step in range(num_steps):
+        near = znear if step == 0 else jnp.zeros_like(znear)
+        hits = trace_rays(
+            rays_o, rays_d, frames, settings.exp_power, near, zfar,
+            max_hits=max_hits, chunk=chunk, secondary=(step > 0),
+            backfacing_max_dist=settings.backfacing_max_dist,
+            backfacing_invalid_normal_threshold=settings.backfacing_invalid_normal_threshold,
+        )
+        hits = _mask_hits(hits, alive)
+
+        g_attrs = jax.tree_util.tree_map(lambda a: a[hits.ids], attrs)
+        comp = composite(
+            hits, g_attrs.rgb, g_attrs.normal, g_attrs.f0, g_attrs.roughness,
+            settings.transmittance_threshold,
+            settings.eps_forward_normalization,
+        )
+        if keep_residuals:
+            residuals.append((hits, comp))
+
+        # * Multiply step color by previous throughput (shaders.cu:111-114)
+        rgb_step = comp.rgb if step == 0 else comp.rgb * throughput
+
+        # * Normal post-processing + path termination (shaders.cu:116-124)
+        nlen = jnp.linalg.norm(comp.normal, axis=-1)
+        eff_normal = comp.normal / jnp.maximum(nlen, 1e-20)[:, None]
+        eff_roughness = jnp.maximum(comp.roughness, settings.eps_min_roughness)
+        next_alive = alive & (nlen >= settings.reflection_invalid_normal_threshold)
+
+        # * Reflection ray via GGX importance sampling (shaders.cu:126-131)
+        key, kstep = jax.random.split(key)
+        u = jax.random.uniform(kstep, (R, 2), dtype)
+        eff_position = rays_o + comp.depth[:, None] * rays_d
+        next_dir = ggx.sample_cook_torrance(eff_normal, -rays_d, eff_roughness, u)
+        next_origin = eff_position + settings.eps_ray_surface_offset * next_dir
+
+        # * Cumulative throughput (shaders.cu:133-140)
+        w = ggx.cook_torrance_weight(
+            eff_normal, -rays_d, next_dir, eff_roughness, comp.f0
+        )
+        next_throughput = throughput * w
+
+        outs.append(
+            dict(
+                rgb=rgb_step, normal=comp.normal, f0=comp.f0,
+                roughness=comp.roughness, depth=comp.depth,
+                transmittance=comp.T_final,
+                total_transmittance=comp.full_T,
+                throughput=next_throughput, alive=alive,
+            )
+        )
+        rays_o, rays_d = next_origin, next_dir
+        throughput = next_throughput
+        alive = next_alive
+
+    stacked = StepOutputs(
+        **{
+            k: jnp.stack([o[k] for o in outs], axis=0)
+            for k in outs[0]
+        }
+    )
+    final = jnp.sum(stacked.rgb, axis=0)
+    return stacked, final, residuals
+
+
+def loss_gradients_per_step(
+    steps: StepOutputs,
+    targets: RayTargets,
+    settings: RenderSettings,
+    num_bounces: int,
+):
+    """Per-ray upstream gradients of the fused L1 losses, per step.
+
+    Mirrors backward_pass.cu:80-108: sign-of-difference times loss weight,
+    deliberately NOT averaged over pixels (num_pixels=1), with the specular
+    term shared across bounce steps, weighted by the previous step's
+    throughput and (1-roughness)^3 downweighting.
+    """
+    out = []
+    spec_pred = jnp.sum(steps.rgb[1:], axis=0) if num_bounces > 0 else None
+    for step in range(num_bounces + 1):
+        if step == 0:
+            dL_drgb = (1.0 / 3.0) * sign(steps.rgb[0] - targets.diffuse) * settings.loss_weight_diffuse
+            dL_ddepth = sign(steps.depth[0] - targets.depth) * settings.loss_weight_depth
+            dL_dnormal = (1.0 / 3.0) * sign(steps.normal[0] - targets.normal) * settings.loss_weight_normal
+            dL_df0 = (1.0 / 3.0) * sign(steps.f0[0] - targets.f0) * settings.loss_weight_f0
+            dL_drough = sign(steps.roughness[0] - targets.roughness) * settings.loss_weight_roughness
+        else:
+            if ROUGHNESS_DOWNWEIGHT_GRAD:
+                downweight = jnp.power(
+                    jnp.maximum(1.0 - steps.roughness[step - 1], 0.0),
+                    ROUGHNESS_DOWNWEIGHT_GRAD_POWER,
+                )
+            else:
+                downweight = jnp.ones_like(steps.roughness[step - 1])
+            dL_drgb = (
+                (1.0 / 3.0)
+                * sign(spec_pred - targets.specular)
+                * settings.loss_weight_specular
+                * downweight[:, None]
+            )
+            # * x= throughput of the previous step (backward_pass.cu:107)
+            dL_drgb = dL_drgb * steps.throughput[step - 1]
+            z = jnp.zeros_like(targets.depth)
+            dL_ddepth = z
+            dL_dnormal = jnp.zeros_like(targets.normal)
+            dL_df0 = jnp.zeros_like(targets.f0)
+            dL_drough = z
+        out.append((dL_drgb, dL_dnormal, dL_df0, dL_drough, dL_ddepth))
+    return out
+
+
+def render_tile_with_grads(
+    rays_o, rays_d, frames, attrs, raw_scene: GaussianScene,
+    targets: RayTargets,
+    settings: RenderSettings, znear, zfar, key,
+    num_bounces: int, max_hits: int, chunk: int,
+):
+    """Forward + hand-written backward for one ray tile.
+
+    Returns (StepOutputs, final_rgb, ParamGrads over the full [N] capacity).
+    """
+    steps, final, residuals = render_tile(
+        rays_o, rays_d, frames, attrs, settings, znear, zfar, key,
+        num_bounces, max_hits, chunk, keep_residuals=True,
+    )
+    dLs = loss_gradients_per_step(steps, targets, settings, num_bounces)
+
+    n = raw_scene.capacity
+    grads = zero_grads(n, rays_o.dtype)
+    g_scaling_act = jnp.exp(raw_scene.scaling)
+    for step in range(num_bounces + 1):
+        hits, comp = residuals[step]
+        dL_drgb, dL_dnormal, dL_df0, dL_drough, dL_ddepth = dLs[step]
+        ids = hits.ids
+        fg = gather_frames(frames, ids)
+        g_attrs = jax.tree_util.tree_map(lambda a: a[ids], attrs)
+        per_hit = backward_step(
+            hits, comp,
+            g_attrs.rgb, g_attrs.normal, g_attrs.f0, g_attrs.roughness,
+            fg.opacity, g_scaling_act[ids], raw_scene.rotation[ids],
+            fg.rot, fg.inv_sizes, fg.sf,
+            dL_drgb, dL_dnormal, dL_df0, dL_drough, dL_ddepth,
+            settings.exp_power, settings.eps_scale_grad, n,
+            settings.global_scale_factor,
+        )
+        grads = grads + scatter_grads(per_hit, ids, n)
+    return steps, final, grads
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "num_bounces", "max_hits", "chunk",
+                     "tile", "jitter"),
+)
+def render_frame(
+    scene: GaussianScene,
+    camera: CameraParams,
+    settings: RenderSettings,
+    key,
+    width: int,
+    height: int,
+    num_bounces: int = 2,
+    max_hits: int = 32,
+    chunk: int = 2048,
+    tile: int = 8192,
+    jitter: bool = True,
+):
+    """Full-frame forward render. Returns StepOutputs [S, H*W, ...] + final."""
+    frames, attrs = build_frames(
+        scene, settings.alpha_threshold, settings.exp_power,
+        settings.global_scale_factor,
+    )
+    key_jit, key_b = jax.random.split(key)
+    dirs = primary_ray_directions(
+        width, height, camera.fov_y, camera.c2w,
+        jitter_key=key_jit if jitter else None,
+    ).reshape(-1, 3)
+    R = dirs.shape[0]
+    assert R % tile == 0 or tile >= R, (R, tile)
+    tile = min(tile, R)
+    num_tiles = (R + tile - 1) // tile
+    pad = num_tiles * tile - R
+    if pad:
+        dirs = jnp.concatenate([dirs, dirs[:pad]], axis=0)
+    dirs_t = dirs.reshape(num_tiles, tile, 3)
+    origins = jnp.broadcast_to(camera.origin, (tile, 3))
+
+    def one_tile(i):
+        steps, final, _ = render_tile(
+            origins, dirs_t[i], frames, attrs, settings,
+            camera.znear, camera.zfar, jax.random.fold_in(key_b, i),
+            num_bounces, max_hits, chunk,
+        )
+        return steps, final
+
+    steps, final = jax.lax.map(one_tile, jnp.arange(num_tiles))
+    # [T, S, tile, ...] -> [S, R, ...]
+    def unflatten(a):
+        a = jnp.moveaxis(a, 0, 1)  # [S, T, tile, ...]
+        a = a.reshape((a.shape[0], num_tiles * tile) + a.shape[3:])
+        return a[:, :R]
+
+    steps = jax.tree_util.tree_map(unflatten, steps)
+    final = final.reshape(num_tiles * tile, 3)[:R]
+    return steps, final

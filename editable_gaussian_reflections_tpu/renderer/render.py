@@ -1,0 +1,96 @@
+"""render() facade - twin of reference renderer/gaussian_renderer.py:21-92.
+
+Returns a SimpleNamespace with the same field names as the reference package
+(rgb per-bounce, final, depth/normal/roughness/f0, targets), shaped
+[S, 3, H, W] / [3, H, W] numpy - so eval tooling and the viewer consume it
+unchanged in spirit.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene.gaussian_scene import GaussianScene
+from .raytracer import CameraParams, RenderSettings, render_frame
+
+
+def camera_params(camera, znear=0.01, zfar=999.9) -> CameraParams:
+    origin, c2w, fovy, zn, zf = camera.render_pose(znear, zfar)
+    return CameraParams(
+        origin=jnp.asarray(origin),
+        c2w=jnp.asarray(c2w),
+        fov_y=jnp.asarray(fovy),
+        znear=jnp.asarray(zn),
+        zfar=jnp.asarray(zf),
+    )
+
+
+def render(
+    camera,
+    scene: GaussianScene,
+    settings: RenderSettings = RenderSettings(),
+    key=None,
+    num_bounces: int = 2,
+    max_hits: int = 32,
+    chunk: int = 2048,
+    tile: int = 8192,
+    jitter: bool = True,
+    denoise: bool = False,
+    znear: float = 0.01,
+    zfar: float = 999.9,
+    targets_available: bool = True,
+):
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    H, W = camera.image_height, camera.image_width
+    cam = camera_params(camera, znear, zfar)
+    steps, final = render_frame(
+        scene, cam, settings, key, W, H,
+        num_bounces=num_bounces, max_hits=max_hits, chunk=chunk, tile=tile,
+        jitter=jitter,
+    )
+
+    def chw(a, ch=3):  # [S, R, C] -> [S, C, H, W]
+        a = np.asarray(a)
+        if a.ndim == 2:
+            a = a[..., None]
+        return a.reshape(a.shape[0], H, W, a.shape[-1]).transpose(0, 3, 1, 2)
+
+    rgb = chw(steps.rgb)
+    final_img = np.asarray(final).reshape(H, W, 3).transpose(2, 0, 1)
+    if denoise:
+        from .denoise import atrous_denoise
+        normal0 = np.asarray(steps.normal[0]).reshape(H, W, 3)
+        depth0 = np.asarray(steps.depth[0]).reshape(H, W)
+        final_img = atrous_denoise(
+            final_img.transpose(1, 2, 0), normal0, depth0
+        ).transpose(2, 0, 1)
+
+    t = camera if targets_available else None
+
+    def tgt(name):
+        if t is None:
+            return None
+        img = getattr(t, name, None)
+        return None if img is None else np.asarray(img).transpose(2, 0, 1)
+
+    return SimpleNamespace(
+        rgb=rgb,
+        final=final_img,
+        depth=chw(steps.depth),
+        normal=chw(steps.normal),
+        roughness=chw(steps.roughness),
+        f0=chw(steps.f0),
+        transmittance=chw(steps.transmittance),
+        target=tgt("original_image"),
+        target_diffuse=tgt("diffuse_image"),
+        target_specular=tgt("specular_image"),
+        target_depth=tgt("depth_image"),
+        target_normal=tgt("normal_image"),
+        target_roughness=tgt("roughness_image"),
+        target_f0=tgt("f0_image"),
+    )

@@ -1,0 +1,230 @@
+"""Training CLI - twin of reference train.py:172-274.
+
+Artifacts match the reference layout: cfg.json, copied transforms/bounding
+boxes, point_cloud/iteration_N/point_cloud.ply, time.txt, num_gaussians.txt,
+{split}_validation_scores.csv, preview PNG grids, tensorboard scalars.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import asdict
+from datetime import datetime
+from random import randint
+
+import numpy as np
+
+from editable_gaussian_reflections_tpu.config import Config, parse_config
+from editable_gaussian_reflections_tpu.ops.gaussian_kernel import MAX_BOUNCES
+from editable_gaussian_reflections_tpu.ops.tonemap import tonemap
+from editable_gaussian_reflections_tpu.renderer.render import camera_params, render
+from editable_gaussian_reflections_tpu.renderer.raytracer import RenderSettings
+from editable_gaussian_reflections_tpu.scene.init import farfield_arrays
+from editable_gaussian_reflections_tpu.scene.scene import Scene
+from editable_gaussian_reflections_tpu.training import (
+    append_with_opt_state,
+    init_train_state,
+    lr_tree,
+    pick_tile_size,
+    prune_step,
+    settings_from_config,
+    targets_from_camera,
+    train_step,
+)
+from editable_gaussian_reflections_tpu.utils.general import set_seeds
+from editable_gaussian_reflections_tpu.utils.image import psnr, save_image_grid
+
+
+def prepare_output_and_logger(cfg: Config):
+    """train.py:34-71."""
+    if not cfg.model_path:
+        cfg.model_path = os.path.join(
+            "output", datetime.now().isoformat(timespec="seconds")
+        )
+    os.makedirs(cfg.model_path, exist_ok=True)
+    for name in ("transforms_train.json", "transforms_test.json",
+                 "bounding_boxes.json"):
+        src = os.path.join(cfg.source_path, name)
+        if os.path.exists(src):
+            shutil.copyfile(src, os.path.join(cfg.model_path, name))
+    with open(os.path.join(cfg.model_path, "cfg.json"), "w") as f:
+        json.dump(asdict(cfg), f, indent=2)
+    try:
+        from tensorboardX import SummaryWriter
+        return SummaryWriter(cfg.model_path)
+    except Exception:
+        return None
+
+
+def _np_tonemap(x):
+    import jax.numpy as jnp
+    return np.asarray(tonemap(jnp.asarray(x, jnp.float32)))
+
+
+def training_report(cfg, scene, state, tb_writer, iteration, start_time,
+                    settings, num_bounces):
+    """train.py:75-169: time.txt, num_gaussians.txt, per-split PSNR +
+    validation CSVs + preview grids."""
+    delta = time.time() - start_time
+    with open(os.path.join(cfg.model_path, "time.txt"), "a") as f:
+        f.write("\n[ITER {}] elapsed {}".format(
+            iteration, time.strftime("%H:%M:%S", time.gmtime(delta))))
+    from editable_gaussian_reflections_tpu.scene.init import num_live
+    n_live = num_live(state.scene)
+    with open(os.path.join(cfg.model_path, "num_gaussians.txt"), "a") as f:
+        f.write(f"\n[ITER {iteration}] # {n_live}")
+
+    configs = [{
+        "name": "train",
+        "cameras": [sorted(scene.getTrainCameras(), key=lambda x: x.image_name)[
+            min(cfg.val_view, (cfg.max_images or len(scene.getTrainCameras())) - 1)
+        ]],
+    }]
+    if len(scene.getTestCameras()) > 0:
+        configs.append({"name": "test", "cameras": scene.getTestCameras()})
+
+    for vc in configs:
+        scores = np.zeros(3)
+        for idx, viewpoint in enumerate(vc["cameras"]):
+            pkg = render(
+                viewpoint, state.scene, settings,
+                num_bounces=num_bounces, max_hits=cfg.max_hits,
+                chunk=cfg.trace_chunk, tile=cfg.ray_tile, denoise=True,
+            )
+            diffuse = np.clip(_np_tonemap(pkg.rgb[0]), 0, 1)
+            specular = np.clip(_np_tonemap(pkg.rgb[1:].sum(0)), 0, 1)
+            pred = np.clip(_np_tonemap(pkg.final), 0, 1)
+            d_gt = np.clip(_np_tonemap(pkg.target_diffuse), 0, 1)
+            s_gt = np.clip(_np_tonemap(pkg.target_specular), 0, 1)
+            gt = np.clip(_np_tonemap(pkg.target), 0, 1)
+            scores += [psnr(diffuse, d_gt), psnr(specular, s_gt), psnr(pred, gt)]
+            if idx == 0:
+                hwc = lambda a: a.transpose(1, 2, 0)
+                save_image_grid(
+                    [hwc(diffuse), hwc(d_gt), hwc(specular), hwc(s_gt),
+                     hwc(pred), hwc(gt)],
+                    os.path.join(cfg.model_path,
+                                 f"{vc['name']}_preview_iteration_{iteration}.png"),
+                    nrow=2,
+                )
+        scores /= len(vc["cameras"])
+        print(f"\n[ITER {iteration}] Evaluating {vc['name']}: "
+              f"PSNR {scores[2]:.2f} (diffuse {scores[0]:.2f} / specular {scores[1]:.2f})")
+        if tb_writer:
+            tb_writer.add_scalar(vc["name"] + "/loss_viewpoint - psnr", scores[2], iteration)
+            tb_writer.add_scalar(vc["name"] + "/loss_viewpoint - specular_psnr", scores[1], iteration)
+            tb_writer.add_scalar(vc["name"] + "/loss_viewpoint - diffuse_psnr", scores[0], iteration)
+        with open(os.path.join(cfg.model_path,
+                               f"{vc['name']}_validation_scores.csv"), "a") as f:
+            f.write(f"{iteration}, {scores[0]:02.2f}, {scores[1]:02.2f}, {scores[2]:02.2f}\n")
+
+
+def main(cfg: Config):
+    import jax
+    import jax.numpy as jnp
+
+    seed = set_seeds()
+    key = jax.random.PRNGKey(seed)
+
+    tb_writer = prepare_output_and_logger(cfg)
+    scene = Scene(cfg)
+    state = init_train_state(scene.gaussians)
+    settings = settings_from_config(cfg)
+
+    cameras = scene.getTrainCameras()
+    W, H = cameras[0].image_width, cameras[0].image_height
+    tile = pick_tile_size(W * H, cfg.ray_tile)
+    # stage targets once (device memory permitting) to avoid per-step H2D
+    targets_cache = {}
+
+    viewpoint_stack = list(range(len(cameras)))
+    start_time = time.time()
+    num_bounces = 0 if cfg.no_bounces_until_iter > 0 else min(MAX_BOUNCES, 2)
+
+    rng = np.random.default_rng(seed)
+    hyper = dict(beta_1=cfg.beta_1, beta_2=cfg.beta_2,
+                 scale_decay=cfg.scale_decay, apply_grads=1.0)
+
+    for iteration in range(1, cfg.iterations + 1):
+        if not viewpoint_stack:
+            viewpoint_stack = list(range(len(cameras)))
+        cam_idx = viewpoint_stack.pop(randint(0, len(viewpoint_stack) - 1))
+        cam = cameras[cam_idx]
+        if cam_idx not in targets_cache:
+            targets_cache[cam_idx] = jax.tree_util.tree_map(
+                jnp.asarray, targets_from_camera(cam)
+            )
+        targets = targets_cache[cam_idx]
+        cp = camera_params(cam, znear=cam.znear, zfar=cam.zfar)
+
+        lrs = lr_tree(cfg, iteration, scene.cameras_extent)
+        prune_now = (
+            iteration % cfg.pruning_interval == 0
+            and iteration > cfg.pruning_start_iter
+            and cfg.min_weight > 0
+        )
+        znear_prune_now = (
+            iteration % cfg.pruning_interval == 0
+            and not cfg.disable_znear_densif_pruning
+        )
+
+        hyper["apply_grads"] = 1.0
+        key, step_key = jax.random.split(key)
+        # render + backward + (prune handled between) + adam + clamps
+        if prune_now or znear_prune_now:
+            # reference order: render happens first (train.py:221), then
+            # pruning (238-245) kills slots AND zeroes this step's grads
+            # (prune_points resets .grad), then the optimizer step runs.
+            state2, metrics = train_step(
+                state, cp, targets, settings, lrs,
+                {**hyper, "apply_grads": 0.0}, step_key,
+                W, H, num_bounces, cfg.max_hits, cfg.trace_chunk, tile,
+            )
+            kill = jnp.zeros(state.scene.capacity, bool)
+            if prune_now:
+                kill = kill | (
+                    state2.total_weight / cfg.pruning_interval < cfg.min_weight
+                )
+            if znear_prune_now:
+                from editable_gaussian_reflections_tpu.scene.init import znear_prune_mask
+                centers, znears = scene.camera_centers_znears()
+                kill = kill | znear_prune_mask(state2.scene, centers, znears)
+            kill = kill & state2.scene.live_mask
+            state = prune_step(state2, kill)
+        else:
+            state, metrics = train_step(
+                state, cp, targets, settings, lrs, hyper, step_key,
+                W, H, num_bounces, cfg.max_hits, cfg.trace_chunk, tile,
+            )
+
+        if iteration in cfg.test_iterations:
+            training_report(cfg, scene, state, tb_writer, iteration,
+                            start_time, settings, num_bounces)
+        if iteration in cfg.save_iterations:
+            print(f"\n[ITER {iteration}] Saving Gaussians")
+            scene.save(iteration, state.scene)
+
+        # * bounce warmup end: restore bounces + inject far-field shell
+        if iteration == cfg.no_bounces_until_iter or (
+            iteration == 1 and cfg.no_bounces_until_iter in (-1, 0)
+        ):
+            num_bounces = min(MAX_BOUNCES, 2)
+            centers, znears = scene.camera_centers_znears()
+            new = farfield_arrays(cfg, scene.cameras_extent, centers, znears, rng)
+            state = append_with_opt_state(state, new,
+                                          pad_multiple=cfg.trace_chunk)
+            print(f"[ITER {iteration}] far-field injection -> capacity "
+                  f"{state.scene.capacity}")
+
+    print("\nTraining complete.")
+    return state
+
+
+if __name__ == "__main__":
+    cfg = parse_config(prog="train")
+    if cfg.viewer:
+        cfg.test_iterations = []
+    main(cfg)
