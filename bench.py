@@ -51,11 +51,12 @@ def main():
     settings = RenderSettings()
     key = jax.random.PRNGKey(0)
 
-    kwargs = dict(num_bounces=2, max_hits=32, chunk=2048, tile=16384)
+    kwargs = dict(num_bounces=2, max_hits=32, chunk=1024, tile=4000)
 
-    # warmup/compile
+    # warmup/compile: on the axon backend the real compile happens lazily at
+    # the first transfer, so force with an actual device_get
     steps, final = render_frame(scene, camera, settings, key, width, height, **kwargs)
-    jax.block_until_ready(final)
+    np.asarray(final)
 
     iters = 5
     t0 = time.perf_counter()
@@ -64,7 +65,7 @@ def main():
             scene, camera, settings, jax.random.fold_in(key, i),
             width, height, **kwargs,
         )
-    jax.block_until_ready(final)
+    np.asarray(final)  # drain the dispatch queue
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_s = width * height / dt

@@ -176,7 +176,8 @@ def render_tile(
                 roughness=comp.roughness, depth=comp.depth,
                 transmittance=comp.T_final,
                 total_transmittance=comp.full_T,
-                throughput=next_throughput, alive=alive,
+                throughput=next_throughput,
+                alive=alive.astype(dtype),  # float so SPP accumulation can sum
             )
         )
         rays_o, rays_d = next_origin, next_dir
@@ -307,7 +308,6 @@ def render_frame(
         jitter_key=key_jit if jitter else None,
     ).reshape(-1, 3)
     R = dirs.shape[0]
-    assert R % tile == 0 or tile >= R, (R, tile)
     tile = min(tile, R)
     num_tiles = (R + tile - 1) // tile
     pad = num_tiles * tile - R
@@ -334,3 +334,50 @@ def render_frame(
     steps = jax.tree_util.tree_map(unflatten, steps)
     final = final.reshape(num_tiles * tile, 3)[:R]
     return steps, final
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "num_bounces", "max_hits", "chunk",
+                     "tile", "jitter", "spp"),
+)
+def render_accumulated(
+    scene: GaussianScene,
+    camera: CameraParams,
+    settings: RenderSettings,
+    key,
+    width: int,
+    height: int,
+    spp: int = 8,
+    num_bounces: int = 2,
+    max_hits: int = 32,
+    chunk: int = 2048,
+    tile: int = 8192,
+    jitter: bool = True,
+):
+    """SPP accumulation: repeated jittered 1-spp renders averaged on device.
+
+    The TPU equivalent of the reference's in-kernel accumulators
+    (framebuffer.h:104-128 + render.py:197-206): a fori_loop keeps ONE render
+    instance in the HLO regardless of spp.
+    """
+    def body(i, acc):
+        steps, final = render_frame.__wrapped__(
+            scene, camera, settings, jax.random.fold_in(key, i),
+            width, height, num_bounces, max_hits, chunk, tile, jitter,
+        )
+        return jax.tree_util.tree_map(lambda a, b: a + b, acc, (steps, final))
+
+    steps0, final0 = render_frame.__wrapped__(
+        scene, camera, settings, jax.random.fold_in(key, 0),
+        width, height, num_bounces, max_hits, chunk, tile, jitter,
+    )
+    if spp > 1:
+        steps, final = jax.lax.fori_loop(1, spp, body, (steps0, final0))
+    else:
+        steps, final = steps0, final0
+    inv = 1.0 / spp
+    return (
+        jax.tree_util.tree_map(lambda a: a * inv, steps),
+        final * inv,
+    )

@@ -1,0 +1,78 @@
+"""FPS measurement CLI - twin of reference measure_fps.py:27-52.
+
+Warmup pass over all views (compiles the render program), then a timed loop
+at 1 spp / no denoise / no targets -> prints FPS and writes fps.json.
+On the axon TPU backend dispatch is async, so timing brackets are closed by
+an explicit device_get (the CUDA-event equivalent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def measure_fps(cfg, views, scene_params, settings):
+    import jax
+
+    from editable_gaussian_reflections_tpu.renderer.render import camera_params
+    from editable_gaussian_reflections_tpu.renderer.raytracer import render_frame
+
+    H, W = views[0].image_height, views[0].image_width
+    kwargs = dict(num_bounces=2, max_hits=cfg.max_hits, chunk=cfg.trace_chunk,
+                  tile=cfg.ray_tile, jitter=True)
+
+    # * Warmup (compile)
+    for view in views:
+        cam = camera_params(view, znear=view.znear, zfar=view.zfar)
+        _, final = render_frame(scene_params, cam, settings,
+                                jax.random.PRNGKey(0), W, H, **kwargs)
+    np.asarray(final)
+
+    t0 = time.perf_counter()
+    for i, view in enumerate(views):
+        cam = camera_params(view, znear=view.znear, zfar=view.zfar)
+        _, final = render_frame(scene_params, cam, settings,
+                                jax.random.PRNGKey(i), W, H, **kwargs)
+    np.asarray(final)  # close the async dispatch queue
+    elapsed = time.perf_counter() - t0
+
+    fps = len(views) / elapsed
+    print(f"{fps:.2f} FPS")
+    with open(os.path.join(cfg.model_path, "fps.json"), "w") as f:
+        f.write(f"{fps:.2f}\n")
+    return fps
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="measure_fps", allow_abbrev=False)
+    p.add_argument("--model_path", "-m", required=True)
+    p.add_argument("--iteration", type=int, default=None)
+    p.add_argument("--split", choices=["train", "test"], default="test")
+    cli, unknown = p.parse_known_args(argv)
+
+    from editable_gaussian_reflections_tpu.config import load_model_config
+    from editable_gaussian_reflections_tpu.scene.scene import (
+        Scene,
+        search_for_max_iteration,
+    )
+    from editable_gaussian_reflections_tpu.training import settings_from_config
+    from editable_gaussian_reflections_tpu.utils.general import set_seeds
+
+    cfg = load_model_config(cli.model_path, unknown, prog="measure_fps")
+    set_seeds()
+    iteration = cli.iteration or search_for_max_iteration(
+        os.path.join(cli.model_path, "point_cloud"))
+    scene = Scene(cfg, load_iteration=iteration, shuffle=False,
+                  model_path=cli.model_path)
+    views = (scene.getTestCameras() if cli.split == "test"
+             else scene.getTrainCameras())
+    measure_fps(cfg, views, scene.gaussians, settings_from_config(cfg))
+
+
+if __name__ == "__main__":
+    main()
