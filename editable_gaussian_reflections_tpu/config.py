@@ -90,6 +90,7 @@ class Config:
     beta_2: float = 0.999
 
     # * TPU-specific knobs (no reference equivalent)
+    backend: str = "auto"          # auto | pallas | xla (trace kernel choice)
     max_hits: int = 32             # per-ray hit cap (BUFFER_SIZE*iters analog)
     trace_chunk: int = 2048        # Gaussian chunk per intersection block
     ray_tile: int = 8192           # rays per scan tile

@@ -1,0 +1,167 @@
+"""Spatial acceleration: Morton clustering + per-tile cone/sphere culling.
+
+The TPU-native replacement for the reference's BVH (bvh_wrapper.h): instead
+of a tree, Gaussians are sorted by Morton code of their means (one cheap XLA
+sort per rebuild - the refit analog, gaussian_raytracer.py:139-140) and
+grouped into fixed-size clusters with bounding spheres that include each
+Gaussian's alpha-clipped ellipsoid extent.  Ray tiles are bounded by a cone
+(apex sphere + direction cone); a cluster survives culling iff its sphere
+intersects the tile's cone within [near, far].
+
+All tests are fixed-shape [T, NC] masks -> per-tile top-MAXC candidate
+cluster lists, consumed by the trace kernels via scalar-prefetch block
+indexing (gather-free streaming of exactly the surviving clusters).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .intersect import GaussianFrames
+
+
+def morton_codes(points, lo, hi, bits: int = 10):
+    """Quantize points into a [0, 2^bits)^3 grid and interleave bits."""
+    q = jnp.clip(
+        ((points - lo) / jnp.maximum(hi - lo, 1e-12) * (2**bits - 1)),
+        0,
+        2**bits - 1,
+    ).astype(jnp.uint32)
+
+    def spread(x):
+        # spread 10 bits to every 3rd position
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    return (
+        spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    )
+
+
+def morton_order(frames: GaussianFrames) -> jnp.ndarray:
+    """Permutation sorting live Gaussians by Morton code (dead ones last)."""
+    live = frames.valid
+    pts = frames.mean
+    lo = jnp.min(jnp.where(live[:, None], pts, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(live[:, None], pts, -jnp.inf), axis=0)
+    codes = morton_codes(pts, lo, hi)
+    key = jnp.where(live, codes, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(key)
+
+
+class ClusterBounds(NamedTuple):
+    center: jnp.ndarray   # [NC, 3]
+    radius: jnp.ndarray   # [NC]
+    any_valid: jnp.ndarray  # [NC] bool
+
+
+def cluster_bounds(frames: GaussianFrames, cluster: int = 256) -> ClusterBounds:
+    """Bounding sphere per cluster of `cluster` consecutive Gaussians.
+
+    Radius covers each member's ellipsoid: |mean - c| + max(sizes) where
+    sizes = exp(scale)*sf (the alpha-threshold clip extent,
+    bvh_wrapper.cu:49-58's AABB analog).
+    """
+    n = frames.mean.shape[0]
+    assert n % cluster == 0, (n, cluster)
+    nc = n // cluster
+    mean = frames.mean.reshape(nc, cluster, 3)
+    valid = frames.valid.reshape(nc, cluster)
+    # per-gaussian max extent = max over axes of 1/inv_sizes (0 when dead)
+    sizes = jnp.where(
+        frames.inv_sizes > 0, 1.0 / jnp.maximum(frames.inv_sizes, 1e-30), 0.0
+    )
+    extent = jnp.max(sizes, axis=-1).reshape(nc, cluster)
+
+    w = valid[..., None].astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    center = jnp.sum(mean * w, axis=1) / cnt
+    dist = jnp.linalg.norm(mean - center[:, None, :], axis=-1)
+    radius = jnp.max(jnp.where(valid, dist + extent, 0.0), axis=1)
+    return ClusterBounds(center=center, radius=radius,
+                         any_valid=jnp.any(valid, axis=1))
+
+
+class TileCones(NamedTuple):
+    origin: jnp.ndarray      # [T, 3] apex (mean ray origin)
+    origin_radius: jnp.ndarray  # [T] max distance of any ray origin to apex
+    axis: jnp.ndarray        # [T, 3] mean direction (normalized)
+    cos_half: jnp.ndarray    # [T] cos of the cone half-angle
+
+
+def tile_cones(rays_o, rays_d, tile: int) -> TileCones:
+    """Bounding cone of each tile of `tile` consecutive rays."""
+    R = rays_o.shape[0]
+    assert R % tile == 0
+    T = R // tile
+    o = rays_o.reshape(T, tile, 3)
+    d = rays_d.reshape(T, tile, 3)
+    origin = jnp.mean(o, axis=1)
+    origin_radius = jnp.max(
+        jnp.linalg.norm(o - origin[:, None, :], axis=-1), axis=1
+    )
+    axis = jnp.mean(d, axis=1)
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True),
+                              1e-12)
+    cos_half = jnp.min(jnp.sum(d * axis[:, None, :], axis=-1), axis=1)
+    return TileCones(origin, origin_radius, axis, jnp.clip(cos_half, -1.0, 1.0))
+
+
+def cone_sphere_visible(cones: TileCones, bounds: ClusterBounds,
+                        near, far) -> jnp.ndarray:
+    """[T, NC] conservative visibility: does the cluster sphere intersect the
+    tile's (expanded) cone within the depth window?"""
+    rel = bounds.center[None, :, :] - cones.origin[:, None, :]   # [T, NC, 3]
+    dist = jnp.linalg.norm(rel, axis=-1)                          # [T, NC]
+    reff = bounds.radius[None, :] + cones.origin_radius[:, None]
+
+    # depth window along the cone axis
+    along = jnp.sum(rel * cones.axis[:, :, None].transpose(0, 2, 1), axis=-1)
+    in_window = (along + reff > near) & (along - reff < far)
+
+    # angle test: angle(rel, axis) <= half_angle + asin(reff/dist)
+    cos_to = along / jnp.maximum(dist, 1e-12)
+    sin_half = jnp.sqrt(jnp.maximum(1.0 - cones.cos_half**2, 0.0))[:, None]
+    sin_extra = jnp.clip(reff / jnp.maximum(dist, 1e-12), 0.0, 1.0)
+    cos_half = cones.cos_half[:, None]
+    # cos(a+b) = cos a cos b - sin a sin b ; visible iff cos_to >= cos(a+b)
+    cos_limit = cos_half * jnp.sqrt(jnp.maximum(1.0 - sin_extra**2, 0.0)) \
+        - sin_half * sin_extra
+    in_cone = cos_to >= cos_limit
+    inside = dist <= reff  # apex inside the sphere
+
+    return bounds.any_valid[None, :] & in_window & (in_cone | inside)
+
+
+@partial(jax.jit, static_argnames=("tile", "cluster", "max_clusters"))
+def cull_clusters(
+    rays_o, rays_d, frames: GaussianFrames, near, far,
+    tile: int = 256, cluster: int = 256, max_clusters: int = 64,
+):
+    """Per-tile candidate cluster lists [T, max_clusters] (-1 = empty).
+
+    Clusters are selected nearest-first along the tile axis; overflow beyond
+    max_clusters drops the FARTHEST clusters (their contribution is the
+    truncated tail the compositor already corrects for).
+    Returns (candidates int32 [T, MC], num_candidates [T], overflow [T]).
+    """
+    bounds = cluster_bounds(frames, cluster)
+    cones = tile_cones(rays_o, rays_d, tile)
+    vis = cone_sphere_visible(cones, bounds, near, far)      # [T, NC]
+
+    rel = bounds.center[None] - cones.origin[:, None]
+    along = jnp.sum(rel * cones.axis[:, None, :], axis=-1)   # [T, NC]
+    key = jnp.where(vis, along, jnp.inf)
+    neg, idx = jax.lax.top_k(-key, min(max_clusters, key.shape[1]))
+    got = jnp.isfinite(-neg)
+    candidates = jnp.where(got, idx, -1).astype(jnp.int32)
+    num = jnp.sum(got.astype(jnp.int32), axis=1)
+    overflow = jnp.sum(vis.astype(jnp.int32), axis=1) > max_clusters
+    return candidates, num, overflow

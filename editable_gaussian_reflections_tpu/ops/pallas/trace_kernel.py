@@ -1,0 +1,427 @@
+"""Fused Pallas trace kernel: ray x Gaussian intersection + streaming top-K.
+
+This is the TPU replacement for the hot path of the reference's OptiX
+traversal + per-pixel linked list + k-buffer rescans
+(shaders.cu:9-75, forward_pass.cu:49-137).  Grid = (ray_tiles, chunks); for
+each ray tile the kernel:
+
+  * streams Gaussian chunks HBM->VMEM (Pallas grid pipelining),
+  * evaluates the closed-form max-response intersection entirely in VMEM
+    (no [R, N] intermediates ever touch HBM - the XLA lowering of the same
+    math is HBM-bound and far off VPU peak),
+  * maintains the K nearest hits per ray in VMEM slot buffers via a
+    replace-max drain loop (TPUs have no per-lane scatter; the drain
+    extracts per-ray minima with masked reductions and writes slots through
+    K-wide one-hots - each chunk only drains hits closer than the current
+    per-ray K-th distance, so saturated rays skip chunks almost entirely,
+    the same self-culling the reference gets from its transmittance
+    early-out),
+  * accumulates the exact total transmittance sum(log1p(-alpha)) over ALL
+    hits (payload-1 equivalent, shaders.cu:68-71) and traversal stats.
+
+Intersection identities (avoid sqrt/normalize of the OptiX formulation):
+with lo = Dinv R^T (o - mu), ld = Dinv R^T d:
+  t_world = -<lo,ld>/<ld,ld>,   |u|^2 = <lo,lo> - <lo,ld>^2/<ld,ld>.
+
+Slot buffers come back unsorted; the caller sorts [R, K] by t (cheap) and
+recomputes per-hit quantities with ops.trace.intersect_gathered.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..gaussian_kernel import MAX_ALPHA
+from ..intersect import GaussianFrames
+
+# gpack row layout (transposed SoA: [N_ROWS, N]; a chunk block is [N_ROWS, C])
+ROW_MEAN = 0        # 3 rows
+ROW_ROT = 3         # 9 rows, row-major r00..r22
+ROW_INV = 12        # 3 rows
+ROW_OPACITY = 15
+ROW_SF2 = 16        # scaling_factor^2
+ROW_NRM = 17        # 3 rows (raw normal, for the secondary backfacing test)
+ROW_NLEN = 20
+ROW_VALID = 21
+N_ROWS = 24         # padded
+
+INF = 3.0e38  # plain float: jnp constants would be captured as kernel consts
+
+
+def pack_frames(frames: GaussianFrames) -> jnp.ndarray:
+    """GaussianFrames -> [N_ROWS, N] f32 for the kernel."""
+    n = frames.mean.shape[0]
+    rot_rows = frames.rot.reshape(n, 9)
+    rows = [
+        frames.mean[:, 0], frames.mean[:, 1], frames.mean[:, 2],
+        *[rot_rows[:, i] for i in range(9)],
+        frames.inv_sizes[:, 0], frames.inv_sizes[:, 1], frames.inv_sizes[:, 2],
+        frames.opacity,
+        frames.sf * frames.sf,
+        frames.normal[:, 0], frames.normal[:, 1], frames.normal[:, 2],
+        jnp.linalg.norm(frames.normal, axis=-1),
+        frames.valid.astype(jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+    ]
+    return jnp.stack(rows, axis=0)
+
+
+def _trace_kernel(
+    scalar_ref,            # SMEM [8]: near, far, exp_power, secondary,
+                           #           bf_max_dist, bf_inv_nrm_thr, chunk, _
+    rays_ref,              # VMEM [R, 8]: ox oy oz dx dy dz pad pad
+    gpack_ref,             # VMEM [N_ROWS, C] (current chunk block)
+    slot_t_ref,            # VMEM out [R, K]
+    slot_id_ref,           # VMEM out [R, K] (f32-encoded ids)
+    logt_ref,              # VMEM out [R, 128] (lane 0 meaningful)
+    trav_ref,              # VMEM out [R, 128] (lane 0 meaningful)
+    *,
+    K: int,
+    exp_power: float,
+):
+    c = pl.program_id(1)   # chunk index (grid = (tiles, chunks))
+    C = gpack_ref.shape[1]
+    R = rays_ref.shape[0]
+
+    @pl.when(c == 0)
+    def _init():
+        slot_t_ref[:] = jnp.full((R, K), INF, jnp.float32)
+        slot_id_ref[:] = jnp.zeros((R, K), jnp.float32)
+        logt_ref[:] = jnp.zeros_like(logt_ref)
+        trav_ref[:] = jnp.zeros_like(trav_ref)
+
+    _trace_chunk_body(
+        scalar_ref, rays_ref, gpack_ref,
+        slot_t_ref, slot_id_ref, logt_ref, trav_ref,
+        base_gaussian=c * C, K=K, exp_power=exp_power,
+    )
+
+
+def _trace_chunk_body(
+    scalar_ref, rays_ref, gpack_ref,
+    slot_t_ref, slot_id_ref, logt_ref, trav_ref,
+    *, base_gaussian, K: int, exp_power: float,
+):
+    """Shared per-chunk intersection + drain (see module docstring)."""
+    C = gpack_ref.shape[1]
+    R = rays_ref.shape[0]
+    near = scalar_ref[0]
+    far = scalar_ref[1]
+    secondary = scalar_ref[3]
+    bf_max_dist = scalar_ref[4]
+    bf_thr = scalar_ref[5]
+
+    o = [rays_ref[:, i:i + 1] for i in range(3)]          # [R, 1]
+    d = [rays_ref[:, 3 + i:4 + i] for i in range(3)]
+
+    g = gpack_ref
+    mean = [g[ROW_MEAN + i, :][None, :] for i in range(3)]  # [1, C]
+    rot = [g[ROW_ROT + i, :][None, :] for i in range(9)]
+    inv = [g[ROW_INV + i, :][None, :] for i in range(3)]
+    opacity = g[ROW_OPACITY, :][None, :]
+    sf2 = g[ROW_SF2, :][None, :]
+    gvalid = g[ROW_VALID, :][None, :]
+
+    rel = [o[j] - mean[j] for j in range(3)]              # [R, C]
+    # lo_i = inv_i * sum_j rot[3j+i] * rel_j   (R^T contraction)
+    lo = [
+        inv[i] * (rot[i] * rel[0] + rot[3 + i] * rel[1] + rot[6 + i] * rel[2])
+        for i in range(3)
+    ]
+    ld = [
+        inv[i] * (rot[i] * d[0] + rot[3 + i] * d[1] + rot[6 + i] * d[2])
+        for i in range(3)
+    ]
+
+    dot_ol = lo[0] * ld[0] + lo[1] * ld[1] + lo[2] * ld[2]
+    dot_ll = ld[0] * ld[0] + ld[1] * ld[1] + ld[2] * ld[2]
+    dot_oo = lo[0] * lo[0] + lo[1] * lo[1] + lo[2] * lo[2]
+    inv_ll = 1.0 / jnp.maximum(dot_ll, 1e-30)
+    t = -dot_ol * inv_ll
+    sq = dot_oo - dot_ol * dot_ol * inv_ll
+
+    valid = (gvalid > 0.0) & (dot_ol <= 0.0) & (sq <= 1.0)
+    valid &= (t > near) & (t < far)
+
+    # secondary-ray backfacing rejection (shaders.cu:53-61)
+    nrm = [g[ROW_NRM + i, :][None, :] for i in range(3)]
+    nlen = g[ROW_NLEN, :][None, :]
+    ndotd = nrm[0] * ld[0] + nrm[1] * ld[1] + nrm[2] * ld[2]
+    reject = (t < bf_max_dist) & (nlen > bf_thr) & (ndotd > 0.0)
+    valid &= jnp.logical_or(secondary <= 0.0, ~reject)
+
+    # exact total transmittance + traversal stats
+    # (exp_power is static: integer powers become multiplies instead of a
+    # pow -> exp(log) transcendental chain per pair)
+    k2 = 2.0 * exp_power
+    sqs = jnp.maximum(sq * sf2, 0.0)
+    if float(exp_power).is_integer() and 1 <= exp_power <= 8:
+        powered = sqs
+        for _ in range(int(exp_power) - 1):
+            powered = powered * sqs
+    else:
+        powered = jnp.power(sqs, exp_power)
+    gaussval = jnp.exp(-powered / k2)
+    alpha = MAX_ALPHA * gaussval * opacity
+    logt_ref[:, 0:1] += jnp.sum(
+        jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1, keepdims=True
+    )
+    trav_ref[:, 0:1] += jnp.broadcast_to(jnp.sum(gvalid), (R, 1))
+
+    # streaming top-K drain (tie-breaks via index-min reductions; Pallas TPU
+    # has no cumsum lowering)
+    base_id = jax.lax.convert_element_type(base_gaussian, jnp.float32)
+    lane_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, C), 1).astype(jnp.float32)
+        + base_id
+    )
+    slot_idx = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1).astype(jnp.float32)
+
+    # (the loop carry must be float vectors - Mosaic cannot yield i1 vectors)
+    def cond(state):
+        remaining, slot_t, slot_id = state
+        curmax = jnp.max(slot_t, axis=1, keepdims=True)   # [R, 1]
+        return jnp.any((remaining > 0.0) & (t < curmax))
+
+    def body(state):
+        remaining, slot_t, slot_id = state
+        curmax = jnp.max(slot_t, axis=1, keepdims=True)
+        insertable = (remaining > 0.0) & (t < curmax)
+        tm = jnp.where(insertable, t, INF)
+        tmin = jnp.min(tm, axis=1, keepdims=True)         # [R, 1]
+        has = tmin < INF                                   # [R, 1]
+        is_min = insertable & (tm <= tmin)
+        # unique winning lane = smallest lane id among minima
+        id_sel = jnp.min(
+            jnp.where(is_min, lane_ids, INF), axis=1, keepdims=True
+        )
+        lane_oh = is_min & (lane_ids <= id_sel)
+        remaining = jnp.where(lane_oh, 0.0, remaining)
+
+        # replace the max slot (smallest slot index among maxima)
+        smax = jnp.max(slot_t, axis=1, keepdims=True)
+        s_is_max = slot_t >= smax
+        s_win = jnp.min(
+            jnp.where(s_is_max, slot_idx, jnp.float32(1e9)), axis=1,
+            keepdims=True,
+        )
+        slot_oh = s_is_max & (slot_idx <= s_win) & has     # [R, K]
+        slot_t = jnp.where(slot_oh, jnp.broadcast_to(tmin, slot_t.shape),
+                           slot_t)
+        slot_id = jnp.where(slot_oh, jnp.broadcast_to(id_sel, slot_id.shape),
+                            slot_id)
+        return remaining, slot_t, slot_id
+
+    _, st, si = jax.lax.while_loop(
+        cond, body,
+        (valid.astype(jnp.float32), slot_t_ref[:], slot_id_ref[:]),
+    )
+    slot_t_ref[:] = st
+    slot_id_ref[:] = si
+
+
+@partial(
+    jax.jit,
+    static_argnames=("exp_power", "max_hits", "chunk", "tile", "interpret"),
+)
+def pallas_trace(
+    rays_o,               # [R, 3]
+    rays_d,               # [R, 3]
+    gpack,                # [N_ROWS, N] from pack_frames
+    near,
+    far,
+    exp_power,
+    secondary,            # traced bool/float (0.0/1.0)
+    backfacing_max_dist,
+    backfacing_invalid_normal_threshold,
+    max_hits: int = 32,
+    chunk: int = 512,
+    tile: int = 256,
+    interpret: bool = False,
+):
+    """Returns (slot_t [R,K] unsorted (INF=empty), slot_id [R,K] int32,
+    log_full_T [R], traversed [R] int32)."""
+    R = rays_o.shape[0]
+    N = gpack.shape[1]
+    assert N % chunk == 0, (N, chunk)
+    assert R % tile == 0, (R, tile)
+    K = max_hits
+    n_chunks = N // chunk
+    n_tiles = R // tile
+
+    rays = jnp.concatenate(
+        [rays_o, rays_d, jnp.zeros((R, 2), jnp.float32)], axis=1
+    ).astype(jnp.float32)
+    scalars = jnp.stack([
+        jnp.asarray(near, jnp.float32),
+        jnp.asarray(far, jnp.float32),
+        jnp.zeros((), jnp.float32),
+        jnp.asarray(secondary, jnp.float32),
+        jnp.asarray(backfacing_max_dist, jnp.float32),
+        jnp.asarray(backfacing_invalid_normal_threshold, jnp.float32),
+        jnp.asarray(chunk, jnp.float32),
+        jnp.zeros((), jnp.float32),
+    ])
+
+    slot_t, slot_id, logt, trav = pl.pallas_call(
+        partial(_trace_kernel, K=K, exp_power=float(exp_power)),
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 8), lambda ti, c: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_ROWS, chunk), lambda ti, c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, K), lambda ti, c: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, K), lambda ti, c: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 128), lambda ti, c: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 128), lambda ti, c: (ti, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, K), jnp.float32),
+            jax.ShapeDtypeStruct((R, K), jnp.float32),
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(scalars, rays, gpack)
+
+    return (
+        slot_t,
+        slot_id.astype(jnp.int32),
+        logt[:, 0],
+        trav[:, 0].astype(jnp.int32),
+    )
+
+
+def _trace_kernel_culled(
+    cand_ref,              # scalar-prefetch [T, MC] int32 cluster ids (-1 pad)
+    scalar_ref,            # SMEM [8] (same layout as _trace_kernel)
+    rays_ref,              # VMEM [R, 8]
+    gpack_ref,             # VMEM [N_ROWS, CLUSTER] (candidate cluster block)
+    slot_t_ref, slot_id_ref, logt_ref, trav_ref,
+    *,
+    K: int,
+    exp_power: float,
+    cluster: int,
+):
+    ti = pl.program_id(0)
+    ci = pl.program_id(1)
+    cand = cand_ref[ti, ci]
+
+    @pl.when(ci == 0)
+    def _init():
+        R = rays_ref.shape[0]
+        slot_t_ref[:] = jnp.full((R, K), INF, jnp.float32)
+        slot_id_ref[:] = jnp.zeros((R, K), jnp.float32)
+        logt_ref[:] = jnp.zeros_like(logt_ref)
+        trav_ref[:] = jnp.zeros_like(trav_ref)
+
+    @pl.when(cand >= 0)
+    def _compute():
+        _trace_chunk_body(
+            scalar_ref, rays_ref, gpack_ref,
+            slot_t_ref, slot_id_ref, logt_ref, trav_ref,
+            base_gaussian=cand * cluster, K=K, exp_power=exp_power,
+        )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret"),
+)
+def pallas_trace_culled(
+    rays_o,               # [R, 3]
+    rays_d,               # [R, 3]
+    gpack,                # [N_ROWS, N], N = num_clusters * cluster
+    candidates,           # [T, MC] int32, T = R // tile
+    near, far,
+    exp_power,
+    secondary,
+    backfacing_max_dist,
+    backfacing_invalid_normal_threshold,
+    max_hits: int = 32,
+    cluster: int = 256,
+    tile: int = 256,
+    interpret: bool = False,
+):
+    """Culled trace: per ray-tile, stream only its candidate clusters via
+    scalar-prefetch block indexing (the BVH-traversal analog: candidate sets
+    from ops.culling.cull_clusters play the role of BVH node visits)."""
+    R = rays_o.shape[0]
+    N = gpack.shape[1]
+    assert N % cluster == 0 and R % tile == 0
+    K = max_hits
+    n_tiles = R // tile
+    mc = candidates.shape[1]
+    assert candidates.shape[0] == n_tiles
+
+    rays = jnp.concatenate(
+        [rays_o, rays_d, jnp.zeros((R, 2), jnp.float32)], axis=1
+    ).astype(jnp.float32)
+    scalars = jnp.stack([
+        jnp.asarray(near, jnp.float32),
+        jnp.asarray(far, jnp.float32),
+        jnp.zeros((), jnp.float32),
+        jnp.asarray(secondary, jnp.float32),
+        jnp.asarray(backfacing_max_dist, jnp.float32),
+        jnp.asarray(backfacing_invalid_normal_threshold, jnp.float32),
+        jnp.zeros((), jnp.float32),
+        jnp.zeros((), jnp.float32),
+    ])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, mc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 8), lambda ti, ci, cand: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (N_ROWS, cluster),
+                lambda ti, ci, cand: (0, jnp.maximum(cand[ti, ci], 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, K), lambda ti, ci, cand: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, K), lambda ti, ci, cand: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 128), lambda ti, ci, cand: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 128), lambda ti, ci, cand: (ti, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    slot_t, slot_id, logt, trav = pl.pallas_call(
+        partial(_trace_kernel_culled, K=K, exp_power=float(exp_power),
+                cluster=cluster),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, K), jnp.float32),
+            jax.ShapeDtypeStruct((R, K), jnp.float32),
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(candidates, scalars, rays, gpack)
+
+    return (
+        slot_t,
+        slot_id.astype(jnp.int32),
+        logt[:, 0],
+        trav[:, 0].astype(jnp.int32),
+    )

@@ -76,6 +76,62 @@ def intersect_gathered(rays_o, rays_d, frames_g: GaussianFrames, exp_power,
     return alpha, gaussval, local_hit, t_world
 
 
+@partial(
+    jax.jit,
+    static_argnames=("exp_power", "max_hits", "chunk", "tile", "interpret"),
+)
+def trace_rays_pallas(
+    rays_o,
+    rays_d,
+    frames: GaussianFrames,
+    gpack,                   # pack_frames(frames), built once per render call
+    exp_power,
+    near,
+    far,
+    secondary,               # traced 0.0/1.0
+    max_hits: int = 32,
+    chunk: int = 512,
+    tile: int = 256,
+    backfacing_max_dist=0.1,
+    backfacing_invalid_normal_threshold=0.9,
+    interpret: bool = False,
+) -> RayHits:
+    """Pallas-kernel trace producing the same RayHits as trace_rays.
+
+    The fused kernel returns unsorted K-nearest (t, id) slots + exact log
+    total transmittance; here we sort, gather, and recompute the per-hit
+    quantities (alpha/gaussval/local_hit) for compositing/backward.
+    """
+    from .pallas.trace_kernel import pallas_trace
+
+    slot_t, slot_id, log_T, traversed = pallas_trace(
+        rays_o, rays_d, gpack, near, far, exp_power, secondary,
+        backfacing_max_dist, backfacing_invalid_normal_threshold,
+        max_hits=max_hits, chunk=chunk, tile=tile, interpret=interpret,
+    )
+    order = jnp.argsort(slot_t, axis=-1)
+    t_sorted = jnp.take_along_axis(slot_t, order, axis=-1)
+    ids = jnp.take_along_axis(slot_id, order, axis=-1)
+    valid = t_sorted < 1e37
+    ids = jnp.where(valid, ids, 0)
+
+    frames_g = gather_frames(frames, ids)
+    alpha, gaussval, local_hit, t_world = intersect_gathered(
+        rays_o, rays_d, frames_g, exp_power
+    )
+    alpha = jnp.where(valid, alpha, 0.0)
+    return RayHits(
+        ids=ids,
+        t=jnp.where(valid, t_sorted, 0.0),
+        alpha=alpha,
+        gaussval=gaussval,
+        local_hit=local_hit,
+        valid=valid,
+        full_T=jnp.exp(log_T),
+        num_traversed=traversed,
+    )
+
+
 @partial(jax.jit, static_argnames=("max_hits", "chunk", "secondary"))
 def trace_rays(
     rays_o,                  # [R, 3]

@@ -114,6 +114,10 @@ def render_tile(
     max_hits: int,
     chunk: int,
     keep_residuals: bool = False,
+    use_pallas: bool = False,
+    exp_power_static: float = 3.0,   # pallas path only (static)
+    gpack=None,                      # pack_frames(frames) when use_pallas
+    pallas_tile: int = 256,
 ):
     """Forward bounce loop for one ray tile.
 
@@ -131,12 +135,22 @@ def render_tile(
 
     for step in range(num_steps):
         near = znear if step == 0 else jnp.zeros_like(znear)
-        hits = trace_rays(
-            rays_o, rays_d, frames, settings.exp_power, near, zfar,
-            max_hits=max_hits, chunk=chunk, secondary=(step > 0),
-            backfacing_max_dist=settings.backfacing_max_dist,
-            backfacing_invalid_normal_threshold=settings.backfacing_invalid_normal_threshold,
-        )
+        if use_pallas:
+            from ..ops.trace import trace_rays_pallas
+            hits = trace_rays_pallas(
+                rays_o, rays_d, frames, gpack, exp_power_static, near, zfar,
+                jnp.float32(1.0 if step > 0 else 0.0),
+                max_hits=max_hits, chunk=chunk, tile=min(pallas_tile, R),
+                backfacing_max_dist=settings.backfacing_max_dist,
+                backfacing_invalid_normal_threshold=settings.backfacing_invalid_normal_threshold,
+            )
+        else:
+            hits = trace_rays(
+                rays_o, rays_d, frames, settings.exp_power, near, zfar,
+                max_hits=max_hits, chunk=chunk, secondary=(step > 0),
+                backfacing_max_dist=settings.backfacing_max_dist,
+                backfacing_invalid_normal_threshold=settings.backfacing_invalid_normal_threshold,
+            )
         hits = _mask_hits(hits, alive)
 
         g_attrs = jax.tree_util.tree_map(lambda a: a[hits.ids], attrs)
@@ -246,6 +260,7 @@ def render_tile_with_grads(
     targets: RayTargets,
     settings: RenderSettings, znear, zfar, key,
     num_bounces: int, max_hits: int, chunk: int,
+    use_pallas: bool = False, exp_power_static: float = 3.0, gpack=None,
 ):
     """Forward + hand-written backward for one ray tile.
 
@@ -254,6 +269,7 @@ def render_tile_with_grads(
     steps, final, residuals = render_tile(
         rays_o, rays_d, frames, attrs, settings, znear, zfar, key,
         num_bounces, max_hits, chunk, keep_residuals=True,
+        use_pallas=use_pallas, exp_power_static=exp_power_static, gpack=gpack,
     )
     dLs = loss_gradients_per_step(steps, targets, settings, num_bounces)
 
@@ -282,7 +298,7 @@ def render_tile_with_grads(
 @partial(
     jax.jit,
     static_argnames=("width", "height", "num_bounces", "max_hits", "chunk",
-                     "tile", "jitter"),
+                     "tile", "jitter", "use_pallas", "exp_power_static"),
 )
 def render_frame(
     scene: GaussianScene,
@@ -296,12 +312,18 @@ def render_frame(
     chunk: int = 2048,
     tile: int = 8192,
     jitter: bool = True,
+    use_pallas: bool = False,
+    exp_power_static: float = 3.0,
 ):
     """Full-frame forward render. Returns StepOutputs [S, H*W, ...] + final."""
     frames, attrs = build_frames(
         scene, settings.alpha_threshold, settings.exp_power,
         settings.global_scale_factor,
     )
+    gpack = None
+    if use_pallas:
+        from ..ops.pallas.trace_kernel import pack_frames
+        gpack = pack_frames(frames)
     key_jit, key_b = jax.random.split(key)
     dirs = primary_ray_directions(
         width, height, camera.fov_y, camera.c2w,
@@ -321,6 +343,8 @@ def render_frame(
             origins, dirs_t[i], frames, attrs, settings,
             camera.znear, camera.zfar, jax.random.fold_in(key_b, i),
             num_bounces, max_hits, chunk,
+            use_pallas=use_pallas, exp_power_static=exp_power_static,
+            gpack=gpack,
         )
         return steps, final
 
@@ -339,7 +363,8 @@ def render_frame(
 @partial(
     jax.jit,
     static_argnames=("width", "height", "num_bounces", "max_hits", "chunk",
-                     "tile", "jitter", "spp"),
+                     "tile", "jitter", "spp", "use_pallas",
+                     "exp_power_static"),
 )
 def render_accumulated(
     scene: GaussianScene,
@@ -354,6 +379,8 @@ def render_accumulated(
     chunk: int = 2048,
     tile: int = 8192,
     jitter: bool = True,
+    use_pallas: bool = False,
+    exp_power_static: float = 3.0,
 ):
     """SPP accumulation: repeated jittered 1-spp renders averaged on device.
 
@@ -365,12 +392,14 @@ def render_accumulated(
         steps, final = render_frame.__wrapped__(
             scene, camera, settings, jax.random.fold_in(key, i),
             width, height, num_bounces, max_hits, chunk, tile, jitter,
+            use_pallas, exp_power_static,
         )
         return jax.tree_util.tree_map(lambda a, b: a + b, acc, (steps, final))
 
     steps0, final0 = render_frame.__wrapped__(
         scene, camera, settings, jax.random.fold_in(key, 0),
         width, height, num_bounces, max_hits, chunk, tile, jitter,
+        use_pallas, exp_power_static,
     )
     if spp > 1:
         steps, final = jax.lax.fori_loop(1, spp, body, (steps0, final0))

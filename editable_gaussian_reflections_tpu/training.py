@@ -110,7 +110,7 @@ def grads_to_param_tree(grads: ParamGrads, scene: GaussianScene) -> dict:
 @partial(
     jax.jit,
     static_argnames=("width", "height", "num_bounces", "max_hits", "chunk",
-                     "tile", "jitter"),
+                     "tile", "jitter", "use_pallas", "exp_power_static"),
 )
 def train_step(
     state: TrainState,
@@ -127,6 +127,8 @@ def train_step(
     chunk: int,
     tile: int,
     jitter: bool = True,
+    use_pallas: bool = False,
+    exp_power_static: float = 3.0,
 ):
     scene = state.scene
     n = scene.capacity
@@ -134,6 +136,10 @@ def train_step(
         scene, settings.alpha_threshold, settings.exp_power,
         settings.global_scale_factor,
     )
+    gpack = None
+    if use_pallas:
+        from .ops.pallas.trace_kernel import pack_frames
+        gpack = pack_frames(frames)
 
     key_jit, key_b = jax.random.split(key)
     dirs = primary_ray_directions(
@@ -159,6 +165,8 @@ def train_step(
             origins, dirs_i, frames,
             attrs, scene, tgt_i, settings, camera.znear, camera.zfar,
             jax.random.fold_in(key_b, i), num_bounces, max_hits, chunk,
+            use_pallas=use_pallas, exp_power_static=exp_power_static,
+            gpack=gpack,
         )
         l1 = jnp.sum(jnp.abs(steps.rgb[0] - tgt_i.diffuse).mean(-1))
         grads_acc = grads_acc + grads
@@ -240,6 +248,17 @@ def prune_step(state: TrainState, kill: jnp.ndarray) -> TrainState:
         count=state.count,
         total_weight=jnp.zeros_like(state.total_weight),
     )
+
+
+def use_pallas_backend(cfg: Config) -> bool:
+    """auto -> pallas on TPU, xla elsewhere (interpret-mode pallas on CPU is
+    too slow for real work; tests exercise it explicitly)."""
+    if cfg.backend == "pallas":
+        return True
+    if cfg.backend == "xla":
+        return False
+    import jax
+    return jax.default_backend() not in ("cpu",)
 
 
 def pick_tile_size(num_rays: int, preferred: int) -> int:

@@ -1,0 +1,124 @@
+"""Headless websocket render service - the SERVER mode of the viewer.
+
+TPU-native twin of the reference's Viewer SERVER mode
+(viewer/__init__.py:93-187): one client at a time, a tick protocol of
+  1. JSON metadata (viewer state),
+  2. JSON binary mapping,
+  3. binary frames (raw RGB8 image bytes),
+in both directions - the client sends camera pose + edit state, the server
+renders and streams the frame.  A thin GUI client (imgui or web) can attach
+remotely exactly like the reference's CLIENT mode; tools/viewer_client.py is
+a headless client for testing and frame capture.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+
+from ..scene.cameras import MiniCam
+from .state import ViewerState
+
+
+def _default_camera(state: ViewerState) -> dict:
+    return dict(
+        R=np.eye(3).tolist(),
+        camera_center=[0.0, 0.0, 0.0],
+        fovy=state.fovy,
+    )
+
+
+class RenderService:
+    """Synchronous per-tick renderer behind a websocket."""
+
+    def __init__(self, state: ViewerState):
+        self.state = state
+        self.num_connections = 0
+
+    def tick(self, request: dict) -> tuple[dict, bytes]:
+        """One protocol tick: apply client state, render, return
+        (metadata, rgb8 bytes)."""
+        st = self.state
+        if "viewer" in request:
+            st.set_state(request["viewer"])
+        cam_info = request.get("camera") or _default_camera(st)
+        R = np.asarray(cam_info["R"], np.float64)
+        center = np.asarray(cam_info["camera_center"], np.float64)
+        # build a MiniCam-compatible pose (world_view transposed convention)
+        w2c = np.eye(4)
+        w2c[:3, :3] = R.T
+        w2c[:3, 3] = -R.T @ center
+        camera = MiniCam(
+            width=st.width, height=st.height,
+            fovy=cam_info.get("fovy", st.fovy),
+            fovx=cam_info.get("fovx", st.fovy),
+            znear=st.znear, zfar=st.zfar,
+            world_view_transform=w2c.T,
+            full_proj_transform=w2c.T,
+        )
+        if request.get("compute_selections"):
+            st.compute_selection_masks(camera)
+        if request.get("duplicate"):
+            st.duplicate_object(request["duplicate"])
+        if request.get("reset_edits"):
+            st.reset_edits()
+
+        img = st.step(camera)
+        rgb8 = (np.clip(img, 0, 1) * 255).astype(np.uint8).tobytes()
+        metadata = st.get_state()
+        metadata["frame_shape"] = [st.height, st.width, 3]
+        if request.get("pick") is not None:
+            x, y = request["pick"]
+            metadata["picked_object"] = st.object_at_pixel(int(x), int(y))
+        return metadata, rgb8
+
+    async def _handle(self, websocket):
+        if self.num_connections > 0:
+            await websocket.close()
+            return
+        self.num_connections += 1
+        try:
+            while True:
+                msg = await websocket.recv()
+                request = json.loads(msg)
+                metadata, frame = self.tick(request)
+                await websocket.send(json.dumps({"viewer": metadata}))
+                await websocket.send(json.dumps(["viewer"]))
+                await websocket.send(frame)
+        except Exception as e:  # noqa: BLE001 - connection teardown
+            print(f"INFO: client disconnected ({type(e).__name__})")
+        finally:
+            self.num_connections -= 1
+
+    def serve(self, host: str = "0.0.0.0", port: int = 8765):
+        import asyncio
+
+        import websockets
+
+        async def main():
+            async with websockets.serve(self._handle, host, port,
+                                        max_size=None, compression=None):
+                print(f"render service listening on ws://{host}:{port}")
+                await asyncio.Future()
+
+        asyncio.run(main())
+
+
+def main(argv: Optional[list] = None):
+    import argparse
+
+    p = argparse.ArgumentParser(prog="viewer_service", allow_abbrev=False)
+    p.add_argument("--model_path", "-m", required=True)
+    p.add_argument("--iteration", type=int, default=None)
+    p.add_argument("--resolution", "-r", type=int, default=None)
+    p.add_argument("--port", type=int, default=8765)
+    args = p.parse_args(argv)
+    state = ViewerState.from_ply(args.model_path, args.iteration,
+                                 args.resolution)
+    RenderService(state).serve(port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,234 @@
+"""Viewer state machine - the GUI-free core of the reference's GaussianViewer.
+
+TPU-native twin of gaussian_viewer.py:71-891 with the imgui layer removed:
+render-mode list, exposure/znear/scaling-modifier, SPP accumulation with
+dirty-tracked resets, per-object Edit state from bounding_boxes.json,
+duplicate/remove objects, and point-and-click object selection via
+selection-mask renders (one-hot diffuse, gaussian_viewer.py:292-321).
+
+The websocket service (viewer/service.py) drives this over the same
+metadata+binary tick protocol shape as the reference's SERVER mode; a GUI
+client can attach remotely, matching viewer/__init__.py:93-187.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import Config, load_config
+from ..ops.tonemap import tonemap, untonemap
+from ..renderer.raytracer import RenderSettings
+from ..renderer.render import camera_params
+from ..scene.cameras import MiniCam
+from ..scene.editable import Edit, EditableGaussianScene
+from ..scene.scene import load_scene_ply, search_for_max_iteration
+
+RENDER_MODES = ["RGB", "Normals", "Depth", "F0", "Roughness"]
+DUPLICATION_OFFSET = 0.08
+
+
+class ViewerState:
+    def __init__(self, scene: EditableGaussianScene, cfg: Config,
+                 width: int, height: int, fovy: float,
+                 settings: Optional[RenderSettings] = None):
+        self.gaussians = scene
+        self.cfg = cfg
+        self.width = width
+        self.height = height
+        self.fovy = fovy
+        self.settings = settings or RenderSettings()
+
+        self.render_mode = 0
+        self.exposure = 1.0
+        self.znear = 0.05
+        self.zfar = 1000.0
+        self.scaling_modifier = 1.0
+        self.accumulate_samples = True
+        self.denoise = False
+        self.num_bounces = 2
+        self.spp = 1
+
+        self._accum = None
+        self._accum_count = 0
+        self._last_pose = None
+        self.is_dirty = True
+        self.selection_masks: Dict[str, np.ndarray] = {}
+
+    @classmethod
+    def from_ply(cls, model_path: str, iteration: Optional[int] = None,
+                 resolution: Optional[int] = None):
+        """gaussian_viewer.py:125-184: self-contained pretrained model dir."""
+        cfg_path = os.path.join(model_path, "cfg.json")
+        cfg = load_config(cfg_path) if os.path.exists(cfg_path) else Config()
+        if resolution:
+            cfg.resolution = resolution
+        iteration = iteration or search_for_max_iteration(
+            os.path.join(model_path, "point_cloud"))
+        ply = os.path.join(model_path, "point_cloud",
+                           f"iteration_{iteration}", "point_cloud.ply")
+        base = load_scene_ply(ply, pad_multiple=cfg.trace_chunk)
+        scene = EditableGaussianScene.from_model_dir(base, model_path)
+
+        fovy = 0.7
+        tj = os.path.join(model_path, "transforms_train.json")
+        width = height = cfg.resolution or 512
+        if os.path.exists(tj):
+            with open(tj) as f:
+                contents = json.load(f)
+            fovy = contents.get("camera_angle_y", contents.get("camera_angle_x", 0.7))
+        from ..training import settings_from_config
+        return cls(scene, cfg, width, height, fovy,
+                   settings_from_config(cfg))
+
+    # ------------------------------------------------------------------
+
+    def _pose_key(self, camera: MiniCam):
+        return (np.asarray(camera.R).tobytes(),
+                np.asarray(camera.camera_center).tobytes(),
+                self.znear, self.zfar, self.render_mode, self.num_bounces)
+
+    def _check_dirty(self, camera: MiniCam):
+        scene_dirty = self.gaussians.dirty_check(self.scaling_modifier)
+        pose = self._pose_key(camera)
+        cam_dirty = pose != self._last_pose
+        self._last_pose = pose
+        if scene_dirty or cam_dirty or not self.accumulate_samples:
+            self._accum = None
+            self._accum_count = 0
+            return True
+        return False
+
+    def step(self, camera: MiniCam) -> np.ndarray:
+        """One render tick; returns the HWC display image [0,1]
+        (gaussian_viewer.py:256-381)."""
+        import jax
+
+        from ..renderer.raytracer import render_frame
+        from ..scene.gaussian_scene import GaussianScene
+
+        self._check_dirty(camera)
+        scene = self.gaussians.edited_scene()
+        if self.scaling_modifier != 1.0:
+            settings = self.settings._replace(
+                global_scale_factor=self.scaling_modifier)
+        else:
+            settings = self.settings
+
+        cam = camera_params(camera, znear=self.znear, zfar=self.zfar)
+        key = jax.random.PRNGKey(self._accum_count)
+        steps, final = render_frame(
+            scene, cam, settings, key, self.width, self.height,
+            num_bounces=self.num_bounces, max_hits=self.cfg.max_hits,
+            chunk=self.cfg.trace_chunk, tile=self.cfg.ray_tile,
+        )
+        H, W = self.height, self.width
+        frame = dict(
+            rgb=np.asarray(final).reshape(H, W, 3),
+            normal=np.asarray(steps.normal[0]).reshape(H, W, 3),
+            depth=np.asarray(steps.depth[0]).reshape(H, W, 1),
+            f0=np.asarray(steps.f0[0]).reshape(H, W, 3),
+            roughness=np.asarray(steps.roughness[0]).reshape(H, W, 1),
+        )
+        if self.accumulate_samples:
+            if self._accum is None:
+                self._accum = frame
+                self._accum_count = 1
+            else:
+                self._accum = {k: a + frame[k] for k, a in self._accum.items()}
+                self._accum_count += 1
+            frame = {k: v / self._accum_count for k, v in self._accum.items()}
+
+        mode = RENDER_MODES[self.render_mode]
+        if mode == "RGB":
+            img = frame["rgb"]
+            import jax.numpy as jnp
+            img = np.asarray(tonemap(jnp.asarray(img * self.exposure)))
+        elif mode == "Normals":
+            n = frame["normal"]
+            n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+            img = n * 0.5 + 0.5
+        elif mode == "Depth":
+            dmax = max(float(frame["depth"].max()), 1e-8)
+            img = np.repeat(frame["depth"] / dmax, 3, -1)
+        elif mode == "F0":
+            img = frame["f0"] * self.exposure
+        else:  # Roughness
+            img = np.repeat(frame["roughness"], 3, -1)
+        return np.clip(img, 0.0, 1.0)
+
+    # ------------------------------------------------------------------
+
+    def compute_selection_masks(self, camera: MiniCam):
+        """Point-and-click selection via one-hot diffuse renders
+        (gaussian_viewer.py:292-321): render each object's selection as its
+        diffuse color, threshold to get per-pixel object masks."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..renderer.raytracer import render_frame
+
+        scene = self.gaussians.edited_scene()
+        cam = camera_params(camera, znear=self.znear, zfar=self.zfar)
+        for key, sel in self.gaussians.selections.items():
+            if key == "everything":
+                continue
+            onehot = jnp.asarray(sel[:, None].astype(np.float32).repeat(3, 1))
+            sel_scene = scene._replace(diffuse=onehot)
+            _, final = render_frame(
+                sel_scene, cam, self.settings, jax.random.PRNGKey(0),
+                self.width, self.height, num_bounces=0,
+                max_hits=self.cfg.max_hits, chunk=self.cfg.trace_chunk,
+                tile=self.cfg.ray_tile, jitter=False,
+            )
+            img = np.asarray(final).reshape(self.height, self.width, 3)
+            self.selection_masks[key] = img.mean(-1) > 0.5
+        return self.selection_masks
+
+    def object_at_pixel(self, x: int, y: int) -> Optional[str]:
+        for key, mask in self.selection_masks.items():
+            if 0 <= y < mask.shape[0] and 0 <= x < mask.shape[1] and mask[y, x]:
+                return key
+        return None
+
+    def duplicate_object(self, name: str):
+        self.gaussians.duplicate_object(name, DUPLICATION_OFFSET)
+
+    def reset_edits(self):
+        for k in self.gaussians.edits:
+            self.gaussians.edits[k] = Edit()
+        self.gaussians.is_dirty = True
+
+    # serialization for the websocket protocol -------------------------
+
+    def get_state(self) -> dict:
+        return dict(
+            render_mode=self.render_mode,
+            exposure=self.exposure,
+            znear=self.znear,
+            zfar=self.zfar,
+            scaling_modifier=self.scaling_modifier,
+            accumulate_samples=self.accumulate_samples,
+            num_bounces=self.num_bounces,
+            objects=list(self.gaussians.edits.keys()),
+            edits={k: asdict(e) for k, e in self.gaussians.edits.items()},
+            width=self.width,
+            height=self.height,
+        )
+
+    def set_state(self, state: dict):
+        for k in ("render_mode", "exposure", "znear", "zfar",
+                  "scaling_modifier", "accumulate_samples", "num_bounces"):
+            if k in state:
+                setattr(self, k, state[k])
+        for name, e in state.get("edits", {}).items():
+            if name in self.gaussians.edits:
+                cur = self.gaussians.edits[name]
+                for field, val in e.items():
+                    if isinstance(val, list):
+                        val = tuple(val)
+                    setattr(cur, field, val)

@@ -1,0 +1,86 @@
+"""Culling tests: Morton ordering, cluster bounds, cone-sphere visibility -
+the candidates must be a superset of the actually-hit Gaussians."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from editable_gaussian_reflections_tpu.ops.culling import (
+    cluster_bounds,
+    cone_sphere_visible,
+    cull_clusters,
+    morton_order,
+    tile_cones,
+)
+from editable_gaussian_reflections_tpu.ops.trace import trace_rays
+from editable_gaussian_reflections_tpu.scene.gaussian_scene import (
+    build_frames,
+    from_arrays,
+)
+
+
+def make_scene(n=64, seed=0, spread=3.0):
+    rng = np.random.default_rng(seed)
+    return from_arrays(
+        xyz=(rng.uniform(-spread, spread, (n, 3)) + np.array([0, 0, 6])).astype(np.float32),
+        scaling=rng.uniform(-2.5, -1.5, (n, 3)).astype(np.float32),
+        rotation=rng.normal(size=(n, 4)).astype(np.float32),
+        opacity=rng.uniform(-1, 2, n).astype(np.float32),
+        diffuse=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        normal=rng.normal(size=(n, 3)).astype(np.float32),
+        f0=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        roughness=rng.uniform(0, 1, n).astype(np.float32),
+        pad_multiple=16,
+    )
+
+
+def rays(r=32, seed=1):
+    rng = np.random.default_rng(seed)
+    o = np.zeros((r, 3), np.float32)
+    d = np.stack([rng.uniform(-0.3, 0.3, r), rng.uniform(-0.3, 0.3, r),
+                  np.ones(r)], -1)
+    return jnp.asarray(o), jnp.asarray(
+        (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32))
+
+
+def test_morton_order_groups_neighbors():
+    scene = make_scene(n=256, pad_multiple=16) if False else make_scene(n=256)
+    frames, _ = build_frames(scene, 0.005, 3.0)
+    perm = np.asarray(morton_order(frames))
+    pts = np.asarray(frames.mean)[perm]
+    live = np.asarray(frames.valid)[perm]
+    pts = pts[live]
+    # sorted neighbors should be much closer on average than random pairs
+    d_sorted = np.linalg.norm(np.diff(pts, axis=0), axis=1).mean()
+    rng = np.random.default_rng(0)
+    ridx = rng.permutation(len(pts))
+    d_rand = np.linalg.norm(pts[ridx] - pts, axis=1).mean()
+    assert d_sorted < 0.6 * d_rand
+
+
+def test_cull_candidates_superset_of_hits():
+    scene = make_scene(n=240, seed=3)
+    frames, _ = build_frames(scene, 0.005, 3.0)
+    o, d = rays(r=16, seed=4)
+    near, far = jnp.float32(0.1), jnp.float32(100.0)
+
+    cluster = 16
+    tile = 16
+    cands, num, overflow = cull_clusters(
+        o, d, frames, near, far, tile=tile, cluster=cluster,
+        max_clusters=frames.mean.shape[0] // cluster,
+    )
+    cand_set = set(int(c) for c in np.asarray(cands[0]) if c >= 0)
+
+    hits = trace_rays(o, d, frames, 3.0, near, far, max_hits=64, chunk=16)
+    hit_ids = np.asarray(hits.ids)[np.asarray(hits.valid)]
+    hit_clusters = set(int(i) // cluster for i in hit_ids)
+    missing = hit_clusters - cand_set
+    assert not missing, f"culling dropped hit clusters: {missing}"
+    assert not bool(np.asarray(overflow).any())
+
+
+def test_tile_cone_contains_rays():
+    o, d = rays(r=32, seed=5)
+    cones = tile_cones(o, d, tile=32)
+    cos_to_axis = np.asarray(jnp.sum(d * cones.axis[0][None], axis=-1))
+    assert np.all(cos_to_axis >= np.asarray(cones.cos_half)[0] - 1e-6)

@@ -1,0 +1,73 @@
+"""Headless viewer client - connects to the render service, drives the
+camera, applies edits, and saves received frames (the CLIENT mode analog of
+viewer/__init__.py:189-275 without a GUI)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="viewer_client", allow_abbrev=False)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--frames", type=int, default=4)
+    p.add_argument("--out", default="/tmp/viewer_frames")
+    p.add_argument("--orbit_radius", type=float, default=4.0)
+    p.add_argument("--edit", default=None,
+                   help='JSON edit dict, e.g. \'{"obj": {"roughness_mult": 0.0}}\'')
+    args = p.parse_args(argv)
+
+    import asyncio
+
+    import websockets
+    from PIL import Image
+
+    os.makedirs(args.out, exist_ok=True)
+
+    async def run():
+        async with websockets.connect(
+            f"ws://{args.host}:{args.port}", max_size=None, compression=None
+        ) as ws:
+            for i in range(args.frames):
+                ang = 2 * np.pi * i / max(args.frames, 1)
+                eye = np.array([
+                    args.orbit_radius * np.cos(ang),
+                    args.orbit_radius * np.sin(ang),
+                    1.0,
+                ])
+                fwd = -eye / np.linalg.norm(eye)
+                up = np.array([0.0, 0.0, 1.0])
+                right = np.cross(fwd, up)
+                right /= np.linalg.norm(right)
+                down = np.cross(fwd, right)
+                # COLMAP-style R (stored transposed c2w)
+                R = np.stack([right, down, fwd], axis=1)
+                req = {
+                    "camera": {"R": R.tolist(),
+                               "camera_center": eye.tolist()},
+                }
+                if args.edit and i == 0:
+                    req["viewer"] = {"edits": json.loads(args.edit)}
+                await ws.send(json.dumps(req))
+                metadata = json.loads(await ws.recv())
+                _mapping = json.loads(await ws.recv())
+                frame = await ws.recv()
+                h, w, c = metadata["viewer"]["frame_shape"]
+                img = np.frombuffer(frame, np.uint8).reshape(h, w, c)
+                path = os.path.join(args.out, f"frame_{i:03d}.png")
+                Image.fromarray(img).save(path)
+                print(f"saved {path}")
+
+    asyncio.run(run())
+
+
+if __name__ == "__main__":
+    main()

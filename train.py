@@ -33,6 +33,7 @@ from editable_gaussian_reflections_tpu.training import (
     settings_from_config,
     targets_from_camera,
     train_step,
+    use_pallas_backend,
 )
 from editable_gaussian_reflections_tpu.utils.general import set_seeds
 from editable_gaussian_reflections_tpu.utils.image import psnr, save_image_grid
@@ -141,6 +142,8 @@ def main(cfg: Config):
     targets_cache = {}
 
     viewpoint_stack = list(range(len(cameras)))
+    use_pallas = use_pallas_backend(cfg)
+    exp_power_static = float(cfg.exp_power)
     start_time = time.time()
     num_bounces = 0 if cfg.no_bounces_until_iter > 0 else min(MAX_BOUNCES, 2)
 
@@ -182,6 +185,7 @@ def main(cfg: Config):
                 state, cp, targets, settings, lrs,
                 {**hyper, "apply_grads": 0.0}, step_key,
                 W, H, num_bounces, cfg.max_hits, cfg.trace_chunk, tile,
+                use_pallas=use_pallas, exp_power_static=exp_power_static,
             )
             kill = jnp.zeros(state.scene.capacity, bool)
             if prune_now:
@@ -198,6 +202,7 @@ def main(cfg: Config):
             state, metrics = train_step(
                 state, cp, targets, settings, lrs, hyper, step_key,
                 W, H, num_bounces, cfg.max_hits, cfg.trace_chunk, tile,
+                use_pallas=use_pallas, exp_power_static=exp_power_static,
             )
 
         if iteration in cfg.test_iterations:
