@@ -1,11 +1,11 @@
 """Benchmark driver: renders the flagship scene on real hardware and prints ONE
 JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: primary-ray throughput in Mrays/s for a full 2-bounce PBR render at
-800x800 with a 100k-Gaussian synthetic scene (the reference's scale ballpark:
-init 100k dense + 75k far-field, BASELINE.md).  vs_baseline compares against
-30 FPS at 1080p (the BASELINE.json north-star target for v5p-8):
-30 * 1920 * 1080 rays/s = 62.2 Mrays/s.
+Scene: a shiny_kitchen-scale synthetic room (100k surface Gaussians + 30%
+far-field shell, utils/synth.py) rendered at 800x800 with the full 2-bounce
+PBR pipeline through the Pallas culled tracer.  Metric: ray throughput in
+Mrays/s. vs_baseline compares against the BASELINE.json north-star of 30 FPS
+at 1080p (= 62.2 Mrays/s).
 """
 
 from __future__ import annotations
@@ -26,32 +26,28 @@ def main():
         render_frame,
     )
     from editable_gaussian_reflections_tpu.scene.gaussian_scene import from_arrays
+    from editable_gaussian_reflections_tpu.utils.synth import room_camera, room_scene
 
-    rng = np.random.default_rng(0)
     n = 100_000
     width = height = 800
-    scene = from_arrays(
-        xyz=(rng.uniform(-2, 2, (n, 3)) + np.array([0, 0, 5])).astype(np.float32),
-        scaling=rng.uniform(-4.5, -3.0, (n, 3)).astype(np.float32),
-        rotation=rng.normal(size=(n, 4)).astype(np.float32),
-        opacity=rng.uniform(-2, 2, n).astype(np.float32),
-        diffuse=rng.uniform(0, 1, (n, 3)).astype(np.float32),
-        normal=rng.normal(size=(n, 3)).astype(np.float32),
-        f0=rng.uniform(0, 0.5, (n, 3)).astype(np.float32),
-        roughness=rng.uniform(0, 1, n).astype(np.float32),
-        pad_multiple=2048,
-    )
+    scene = from_arrays(**room_scene(n), pad_multiple=2048)
+    eye, c2w = room_camera()
     camera = CameraParams(
-        origin=jnp.zeros(3),
-        c2w=jnp.asarray(np.diag([1.0, 1.0, -1.0]).astype(np.float32)),
-        fov_y=jnp.asarray(0.8),
-        znear=jnp.asarray(0.1),
-        zfar=jnp.asarray(100.0),
+        origin=jnp.asarray(eye),
+        c2w=jnp.asarray(c2w),
+        fov_y=jnp.asarray(0.9),
+        znear=jnp.asarray(0.05),
+        zfar=jnp.asarray(50.0),
     )
     settings = RenderSettings()
     key = jax.random.PRNGKey(0)
 
-    kwargs = dict(num_bounces=2, max_hits=32, chunk=1024, tile=4000)
+    use_pallas = jax.default_backend() != "cpu"
+    kwargs = dict(
+        num_bounces=2, max_hits=32, chunk=1024, tile=8192,
+        use_pallas=use_pallas, use_culling=use_pallas,
+        cull_tile=512, cull_cluster=256, max_clusters=192,
+    )
 
     # warmup/compile: on the axon backend the real compile happens lazily at
     # the first transfer, so force with an actual device_get

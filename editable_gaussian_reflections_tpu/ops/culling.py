@@ -140,28 +140,66 @@ def cone_sphere_visible(cones: TileCones, bounds: ClusterBounds,
     return bounds.any_valid[None, :] & in_window & (in_cone | inside)
 
 
-@partial(jax.jit, static_argnames=("tile", "cluster", "max_clusters"))
-def cull_clusters(
-    rays_o, rays_d, frames: GaussianFrames, near, far,
-    tile: int = 256, cluster: int = 256, max_clusters: int = 64,
+@partial(jax.jit, static_argnames=("tile", "max_clusters"))
+def select_candidates(
+    rays_o, rays_d, bounds: ClusterBounds, near, far,
+    tile: int = 256, max_clusters: int = 64,
 ):
-    """Per-tile candidate cluster lists [T, max_clusters] (-1 = empty).
+    """Per-tile candidate cluster lists, nearest-first along the tile axis.
 
-    Clusters are selected nearest-first along the tile axis; overflow beyond
-    max_clusters drops the FARTHEST clusters (their contribution is the
-    truncated tail the compositor already corrects for).
-    Returns (candidates int32 [T, MC], num_candidates [T], overflow [T]).
+    Overflow beyond max_clusters drops the FARTHEST clusters (their
+    contribution is the truncated tail the compositor already corrects for).
+    Returns (candidates int32 [T, MC] (-1 = empty), cand_near f32 [T, MC]
+    conservative near distance per candidate, num [T], overflow [T]).
     """
-    bounds = cluster_bounds(frames, cluster)
     cones = tile_cones(rays_o, rays_d, tile)
     vis = cone_sphere_visible(cones, bounds, near, far)      # [T, NC]
 
     rel = bounds.center[None] - cones.origin[:, None]
     along = jnp.sum(rel * cones.axis[:, None, :], axis=-1)   # [T, NC]
-    key = jnp.where(vis, along, jnp.inf)
+    near_dist = along - (bounds.radius[None] + cones.origin_radius[:, None])
+    key = jnp.where(vis, near_dist, jnp.inf)
     neg, idx = jax.lax.top_k(-key, min(max_clusters, key.shape[1]))
     got = jnp.isfinite(-neg)
     candidates = jnp.where(got, idx, -1).astype(jnp.int32)
+    cand_near = jnp.where(got, -neg, jnp.float32(3e38))
     num = jnp.sum(got.astype(jnp.int32), axis=1)
     overflow = jnp.sum(vis.astype(jnp.int32), axis=1) > max_clusters
+    return candidates, cand_near, num, overflow
+
+
+@partial(jax.jit, static_argnames=("tile", "cluster", "max_clusters"))
+def cull_clusters(
+    rays_o, rays_d, frames: GaussianFrames, near, far,
+    tile: int = 256, cluster: int = 256, max_clusters: int = 64,
+):
+    """Convenience: cluster_bounds + select_candidates in one call.
+    Returns (candidates, num, overflow) for backward compatibility."""
+    bounds = cluster_bounds(frames, cluster)
+    candidates, _cand_near, num, overflow = select_candidates(
+        rays_o, rays_d, bounds, near, far, tile=tile,
+        max_clusters=max_clusters,
+    )
     return candidates, num, overflow
+
+
+def tile_pixel_order(height: int, width: int, th: int = 8, tw: int = 8):
+    """Permutation grouping pixels into th x tw screen tiles.
+
+    Row-major ray flattening makes 'tiles' long thin row segments with wide
+    bounding cones; square pixel tiles give tight cones, which is what makes
+    cone culling effective.  Returns (perm, inv_perm) numpy int32 arrays:
+    rays_tiled = rays[perm], outputs_linear = outputs_tiled[inv_perm].
+    """
+    import numpy as np
+
+    assert height % th == 0 and width % tw == 0, (height, width, th, tw)
+    idx = np.arange(height * width, dtype=np.int32).reshape(height, width)
+    tiles = (
+        idx.reshape(height // th, th, width // tw, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1)
+    )
+    inv = np.empty_like(tiles)
+    inv[tiles] = np.arange(tiles.size, dtype=np.int32)
+    return tiles, inv

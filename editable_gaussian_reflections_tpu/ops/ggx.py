@@ -73,8 +73,9 @@ def cook_torrance_weight(N, V, L, roughness, f0):
     """Importance-sampling throughput weight F*G*VdotH/(NdotH*NdotV).
 
     ggx_brdf.h:134-150.  This is brdf/pdf for Walter's half-vector sampling.
+    (eps in the half-vector normalization: L == -V would produce NaN.)
     """
-    H = _normalize(V + L)
+    H = _normalize(V + L, eps=1e-20)
     NdotH = jnp.maximum(_dot(N, H), 0.0)
     VdotH = jnp.maximum(_dot(V, H), 0.0)
     NdotV = jnp.maximum(_dot(N, V), 0.0)

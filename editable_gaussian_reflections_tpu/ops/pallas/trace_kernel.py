@@ -308,7 +308,8 @@ def pallas_trace(
 
 def _trace_kernel_culled(
     cand_ref,              # scalar-prefetch [T, MC] int32 cluster ids (-1 pad)
-    scalar_ref,            # SMEM [8] (same layout as _trace_kernel)
+    cand_near_ref,         # scalar-prefetch [T, MC] f32 conservative near dist
+    scalar_ref,            # SMEM [8] (near, far, log_thr, secondary, bf...)
     rays_ref,              # VMEM [R, 8]
     gpack_ref,             # VMEM [N_ROWS, CLUSTER] (candidate cluster block)
     slot_t_ref, slot_id_ref, logt_ref, trav_ref,
@@ -320,6 +321,8 @@ def _trace_kernel_culled(
     ti = pl.program_id(0)
     ci = pl.program_id(1)
     cand = cand_ref[ti, ci]
+    cnear = cand_near_ref[ti, ci]
+    log_thr = scalar_ref[6]   # log(transmittance_threshold)
 
     @pl.when(ci == 0)
     def _init():
@@ -329,7 +332,19 @@ def _trace_kernel_culled(
         logt_ref[:] = jnp.zeros_like(logt_ref)
         trav_ref[:] = jnp.zeros_like(trav_ref)
 
-    @pl.when(cand >= 0)
+    # Early termination (the reference's transmittance early-out,
+    # forward_pass.cu:131-134, lifted to cluster granularity): candidates
+    # arrive near-to-far, so a cluster can be skipped once EVERY ray either
+    # (a) is saturated (accumulated transmittance below the threshold) or
+    # (b) already holds K hits all nearer than this cluster's near bound.
+    # Skipped clusters sit behind the composited hits; their tiny residual is
+    # what the truncated-tail correction absorbs.
+    saturated = logt_ref[:, 0:1] <= log_thr                      # [R, 1]
+    kth = jnp.max(slot_t_ref[:], axis=1, keepdims=True)          # [R, 1]
+    behind = kth < cnear
+    all_done = jnp.all(saturated | behind)
+
+    @pl.when((cand >= 0) & ~all_done)
     def _compute():
         _trace_chunk_body(
             scalar_ref, rays_ref, gpack_ref,
@@ -347,11 +362,13 @@ def pallas_trace_culled(
     rays_d,               # [R, 3]
     gpack,                # [N_ROWS, N], N = num_clusters * cluster
     candidates,           # [T, MC] int32, T = R // tile
+    cand_near,            # [T, MC] f32 conservative per-candidate near dist
     near, far,
     exp_power,
     secondary,
     backfacing_max_dist,
     backfacing_invalid_normal_threshold,
+    transmittance_threshold=0.01,
     max_hits: int = 32,
     cluster: int = 256,
     tile: int = 256,
@@ -378,31 +395,31 @@ def pallas_trace_culled(
         jnp.asarray(secondary, jnp.float32),
         jnp.asarray(backfacing_max_dist, jnp.float32),
         jnp.asarray(backfacing_invalid_normal_threshold, jnp.float32),
-        jnp.zeros((), jnp.float32),
+        jnp.log(jnp.asarray(transmittance_threshold, jnp.float32)),
         jnp.zeros((), jnp.float32),
     ])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles, mc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile, 8), lambda ti, ci, cand: (ti, 0),
+            pl.BlockSpec((tile, 8), lambda ti, ci, cand, cnear: (ti, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (N_ROWS, cluster),
-                lambda ti, ci, cand: (0, jnp.maximum(cand[ti, ci], 0)),
+                lambda ti, ci, cand, cnear: (0, jnp.maximum(cand[ti, ci], 0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
-            pl.BlockSpec((tile, K), lambda ti, ci, cand: (ti, 0),
+            pl.BlockSpec((tile, K), lambda ti, ci, cand, cnear: (ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, K), lambda ti, ci, cand: (ti, 0),
+            pl.BlockSpec((tile, K), lambda ti, ci, cand, cnear: (ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 128), lambda ti, ci, cand: (ti, 0),
+            pl.BlockSpec((tile, 128), lambda ti, ci, cand, cnear: (ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 128), lambda ti, ci, cand: (ti, 0),
+            pl.BlockSpec((tile, 128), lambda ti, ci, cand, cnear: (ti, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
@@ -417,7 +434,7 @@ def pallas_trace_culled(
             jax.ShapeDtypeStruct((R, 128), jnp.float32),
         ),
         interpret=interpret,
-    )(candidates, scalars, rays, gpack)
+    )(candidates, cand_near, scalars, rays, gpack)
 
     return (
         slot_t,

@@ -132,6 +132,66 @@ def trace_rays_pallas(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret"),
+)
+def trace_rays_culled(
+    rays_o,
+    rays_d,
+    frames: GaussianFrames,
+    gpack,
+    candidates,              # [T, MC] int32 from culling.select_candidates
+    cand_near,               # [T, MC] f32
+    exp_power,
+    near,
+    far,
+    secondary,
+    transmittance_threshold=0.01,
+    max_hits: int = 32,
+    cluster: int = 256,
+    tile: int = 256,
+    backfacing_max_dist=0.1,
+    backfacing_invalid_normal_threshold=0.9,
+    interpret: bool = False,
+) -> RayHits:
+    """Culled Pallas trace (cluster candidates + in-kernel early termination).
+
+    Same RayHits contract as trace_rays; full_T omits hits in skipped
+    clusters (they sit behind the K composited hits or beyond saturation -
+    the truncated-tail correction absorbs the residual, matching the
+    reference's early-out semantics, forward_pass.cu:131-134).
+    """
+    from .pallas.trace_kernel import pallas_trace_culled
+
+    slot_t, slot_id, log_T, traversed = pallas_trace_culled(
+        rays_o, rays_d, gpack, candidates, cand_near, near, far, exp_power,
+        secondary, backfacing_max_dist, backfacing_invalid_normal_threshold,
+        transmittance_threshold=transmittance_threshold,
+        max_hits=max_hits, cluster=cluster, tile=tile, interpret=interpret,
+    )
+    order = jnp.argsort(slot_t, axis=-1)
+    t_sorted = jnp.take_along_axis(slot_t, order, axis=-1)
+    ids = jnp.take_along_axis(slot_id, order, axis=-1)
+    valid = t_sorted < 1e37
+    ids = jnp.where(valid, ids, 0)
+    frames_g = gather_frames(frames, ids)
+    alpha, gaussval, local_hit, t_world = intersect_gathered(
+        rays_o, rays_d, frames_g, exp_power
+    )
+    alpha = jnp.where(valid, alpha, 0.0)
+    return RayHits(
+        ids=ids,
+        t=jnp.where(valid, t_sorted, 0.0),
+        alpha=alpha,
+        gaussval=gaussval,
+        local_hit=local_hit,
+        valid=valid,
+        full_T=jnp.exp(log_T),
+        num_traversed=traversed,
+    )
+
+
 @partial(jax.jit, static_argnames=("max_hits", "chunk", "secondary"))
 def trace_rays(
     rays_o,                  # [R, 3]

@@ -94,6 +94,7 @@ def sharded_train_step(
         mesh=mesh,
         in_specs=(P(), P("rays"), P("rays"), P("rays"), P()),
         out_specs=(P(), P()),
+        check_vma=False,  # scan carries inside trace_rays are unvarying inits
     )
     def grads_shard(scene_rep, dirs_s, targets_s, live_s, key_rep):
         frames, attrs = build_frames(
@@ -191,6 +192,7 @@ def sharded_render(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P("rays"), P()),
         out_specs=P("rays"),
+        check_vma=False,
     )
     def fwd(scene_rep, dirs_s, key_rep):
         frames, attrs = build_frames(

@@ -118,6 +118,7 @@ def render_tile(
     exp_power_static: float = 3.0,   # pallas path only (static)
     gpack=None,                      # pack_frames(frames) when use_pallas
     pallas_tile: int = 256,
+    culling: dict = None,            # {bounds, cull_tile, cluster, mc}
 ):
     """Forward bounce loop for one ray tile.
 
@@ -135,7 +136,24 @@ def render_tile(
 
     for step in range(num_steps):
         near = znear if step == 0 else jnp.zeros_like(znear)
-        if use_pallas:
+        if use_pallas and culling is not None:
+            from ..ops.culling import select_candidates
+            from ..ops.trace import trace_rays_culled
+            cands, cnear, _num, _ovf = select_candidates(
+                rays_o, rays_d, culling["bounds"], near, zfar,
+                tile=culling["cull_tile"], max_clusters=culling["mc"],
+            )
+            hits = trace_rays_culled(
+                rays_o, rays_d, frames, gpack, cands, cnear,
+                exp_power_static, near, zfar,
+                jnp.float32(1.0 if step > 0 else 0.0),
+                transmittance_threshold=settings.transmittance_threshold,
+                max_hits=max_hits, cluster=culling["cluster"],
+                tile=culling["cull_tile"],
+                backfacing_max_dist=settings.backfacing_max_dist,
+                backfacing_invalid_normal_threshold=settings.backfacing_invalid_normal_threshold,
+            )
+        elif use_pallas:
             from ..ops.trace import trace_rays_pallas
             hits = trace_rays_pallas(
                 rays_o, rays_d, frames, gpack, exp_power_static, near, zfar,
@@ -178,11 +196,15 @@ def render_tile(
         next_dir = ggx.sample_cook_torrance(eff_normal, -rays_d, eff_roughness, u)
         next_origin = eff_position + settings.eps_ray_surface_offset * next_dir
 
-        # * Cumulative throughput (shaders.cu:133-140)
+        # * Cumulative throughput (shaders.cu:133-140). Dead rays produce
+        # degenerate normals/directions whose weight can be NaN; zero their
+        # throughput so 0*NaN never contaminates later (masked) bounces.
         w = ggx.cook_torrance_weight(
             eff_normal, -rays_d, next_dir, eff_roughness, comp.f0
         )
-        next_throughput = throughput * w
+        next_throughput = jnp.where(
+            next_alive[:, None], throughput * jnp.nan_to_num(w), 0.0
+        )
 
         outs.append(
             dict(
@@ -298,7 +320,9 @@ def render_tile_with_grads(
 @partial(
     jax.jit,
     static_argnames=("width", "height", "num_bounces", "max_hits", "chunk",
-                     "tile", "jitter", "use_pallas", "exp_power_static"),
+                     "tile", "jitter", "use_pallas", "exp_power_static",
+                     "use_culling", "cull_tile", "cull_cluster",
+                     "max_clusters"),
 )
 def render_frame(
     scene: GaussianScene,
@@ -314,6 +338,10 @@ def render_frame(
     jitter: bool = True,
     use_pallas: bool = False,
     exp_power_static: float = 3.0,
+    use_culling: bool = False,
+    cull_tile: int = 512,
+    cull_cluster: int = 256,
+    max_clusters: int = 192,
 ):
     """Full-frame forward render. Returns StepOutputs [S, H*W, ...] + final."""
     frames, attrs = build_frames(
@@ -321,6 +349,30 @@ def render_frame(
         settings.global_scale_factor,
     )
     gpack = None
+    culling = None
+    ray_perm = None
+    if use_pallas and use_culling:
+        # Morton-sort the scene (the per-rebuild analog of the BVH refit) so
+        # clusters are spatially tight, then bound them once per frame.
+        from ..ops.culling import (
+            cluster_bounds,
+            morton_order,
+            tile_pixel_order,
+        )
+        perm = morton_order(frames)
+        frames = jax.tree_util.tree_map(lambda a: a[perm], frames)
+        attrs = jax.tree_util.tree_map(lambda a: a[perm], attrs)
+        bounds = cluster_bounds(frames, cull_cluster)
+        culling = dict(bounds=bounds, cull_tile=cull_tile,
+                       cluster=cull_cluster, mc=max_clusters)
+        # square pixel tiles give tight bounding cones
+        th = tw = int(cull_tile ** 0.5)
+        if height % th or width % tw or th * tw != cull_tile:
+            th, tw = 16, cull_tile // 16
+        if height % th == 0 and width % tw == 0:
+            ray_perm, ray_inv = tile_pixel_order(height, width, th, tw)
+            ray_perm = jnp.asarray(ray_perm)
+            ray_inv = jnp.asarray(ray_inv)
     if use_pallas:
         from ..ops.pallas.trace_kernel import pack_frames
         gpack = pack_frames(frames)
@@ -329,6 +381,8 @@ def render_frame(
         width, height, camera.fov_y, camera.c2w,
         jitter_key=key_jit if jitter else None,
     ).reshape(-1, 3)
+    if ray_perm is not None:
+        dirs = dirs[ray_perm]
     R = dirs.shape[0]
     tile = min(tile, R)
     num_tiles = (R + tile - 1) // tile
@@ -344,7 +398,7 @@ def render_frame(
             camera.znear, camera.zfar, jax.random.fold_in(key_b, i),
             num_bounces, max_hits, chunk,
             use_pallas=use_pallas, exp_power_static=exp_power_static,
-            gpack=gpack,
+            gpack=gpack, culling=culling,
         )
         return steps, final
 
@@ -357,6 +411,9 @@ def render_frame(
 
     steps = jax.tree_util.tree_map(unflatten, steps)
     final = final.reshape(num_tiles * tile, 3)[:R]
+    if ray_perm is not None:
+        steps = jax.tree_util.tree_map(lambda a: a[:, ray_inv], steps)
+        final = final[ray_inv]
     return steps, final
 
 
