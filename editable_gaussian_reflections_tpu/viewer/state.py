@@ -28,7 +28,7 @@ from ..scene.cameras import MiniCam
 from ..scene.editable import Edit, EditableGaussianScene
 from ..scene.scene import load_scene_ply, search_for_max_iteration
 
-RENDER_MODES = ["RGB", "Normals", "Depth", "F0", "Roughness"]
+RENDER_MODES = ["RGB", "Normals", "Depth", "F0", "Roughness", "Ellipsoids"]
 DUPLICATION_OFFSET = 0.08
 
 
@@ -113,6 +113,23 @@ class ViewerState:
 
         self._check_dirty(camera)
         scene = self.gaussians.edited_scene()
+        if RENDER_MODES[self.render_mode] == "Ellipsoids":
+            # solid-ellipsoid preview (the EllipsoidViewer widget analog,
+            # viewer/widgets/ellipsoid_viewer.py): opacity saturated so each
+            # Gaussian renders as its alpha-clipped ellipsoid, colored by a
+            # per-Gaussian hash
+            import jax.numpy as jnp
+            n = scene.capacity
+            idx = np.arange(n, dtype=np.uint32)
+            h = (idx * np.uint32(2654435761)) & np.uint32(0xFFFFFF)
+            colors = np.stack([
+                (h & 0xFF) / 255.0, ((h >> 8) & 0xFF) / 255.0,
+                ((h >> 16) & 0xFF) / 255.0,
+            ], -1).astype(np.float32)
+            scene = scene._replace(
+                opacity=jnp.full((n,), 12.0, jnp.float32),
+                diffuse=jnp.asarray(colors),
+            )
         if self.scaling_modifier != 1.0:
             settings = self.settings._replace(
                 global_scale_factor=self.scaling_modifier)
@@ -157,8 +174,10 @@ class ViewerState:
             img = np.repeat(frame["depth"] / dmax, 3, -1)
         elif mode == "F0":
             img = frame["f0"] * self.exposure
-        else:  # Roughness
+        elif mode == "Roughness":
             img = np.repeat(frame["roughness"], 3, -1)
+        else:  # Ellipsoids: the hashed colors come through the rgb channel
+            img = frame["rgb"]
         return np.clip(img, 0.0, 1.0)
 
     # ------------------------------------------------------------------

@@ -1,0 +1,86 @@
+"""Viewer tests: ViewerState render modes, edits round-trip, and the
+RenderService tick protocol (driven directly, no sockets)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from editable_gaussian_reflections_tpu.config import Config
+from editable_gaussian_reflections_tpu.scene.editable import (
+    Edit,
+    EditableGaussianScene,
+)
+from editable_gaussian_reflections_tpu.scene.gaussian_scene import from_arrays
+from editable_gaussian_reflections_tpu.viewer.service import RenderService
+from editable_gaussian_reflections_tpu.viewer.state import (
+    RENDER_MODES,
+    ViewerState,
+)
+
+
+@pytest.fixture(scope="module")
+def state():
+    rng = np.random.default_rng(0)
+    n = 24
+    base = from_arrays(
+        xyz=np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                      np.full(n, 4.0)], -1).astype(np.float32),
+        scaling=np.full((n, 3), np.log(0.4), np.float32),
+        rotation=np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+        opacity=np.full(n, 2.0, np.float32),
+        diffuse=rng.uniform(0.2, 1.0, (n, 3)).astype(np.float32),
+        normal=np.tile(np.array([0, 0, -1], np.float32), (n, 1)),
+        f0=np.full((n, 3), 0.04, np.float32),
+        roughness=np.full(n, 0.5, np.float32),
+        pad_multiple=32,
+    )
+    scene = EditableGaussianScene(base)
+    scene.make_editable(
+        {"blob": Edit()},
+        {"blob": {"min": [-2, -2, 2], "max": [2, 2, 6]}},
+    )
+    cfg = Config(trace_chunk=32, max_hits=8, ray_tile=1024)
+    return ViewerState(scene, cfg, width=32, height=32, fovy=0.9)
+
+
+def test_render_modes_produce_images(state):
+    svc = RenderService(state)
+    for mode in range(len(RENDER_MODES)):
+        meta, frame = svc.tick({"viewer": {"render_mode": mode,
+                                           "num_bounces": 0}})
+        h, w, c = meta["frame_shape"]
+        img = np.frombuffer(frame, np.uint8).reshape(h, w, c)
+        assert img.shape == (32, 32, 3)
+        if RENDER_MODES[mode] in ("RGB", "Ellipsoids"):
+            assert img.max() > 0, f"mode {RENDER_MODES[mode]} rendered black"
+
+
+def test_edit_applies_through_service(state):
+    svc = RenderService(state)
+    req = {"viewer": {"render_mode": 4, "num_bounces": 0}}  # roughness mode
+    _, frame0 = svc.tick(req)
+    img0 = np.frombuffer(frame0, np.uint8).astype(np.float32)
+    req["viewer"]["edits"] = {
+        "blob": {"use_roughness_override": True, "roughness_override": 1.0}
+    }
+    meta, frame1 = svc.tick(req)
+    img1 = np.frombuffer(frame1, np.uint8).astype(np.float32)
+    assert img1.mean() > img0.mean() + 5  # roughness 0.5 -> 1.0
+    assert meta["edits"]["blob"]["roughness_override"] == 1.0
+
+
+def test_accumulation_resets_on_edit(state):
+    svc = RenderService(state)
+    req = {"viewer": {"render_mode": 0, "num_bounces": 0,
+                      "accumulate_samples": True}}
+    svc.tick(req)
+    svc.tick(req)
+    assert state._accum_count == 2
+    req["viewer"]["edits"] = {"blob": {"translate_x": 0.3}}
+    svc.tick(req)
+    assert state._accum_count == 1  # dirty -> reset
