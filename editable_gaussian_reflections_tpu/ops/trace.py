@@ -104,6 +104,11 @@ def trace_rays_pallas(
     """
     from .pallas.trace_kernel import pallas_trace
 
+    R = rays_o.shape[0]
+    if R % tile != 0:  # largest power-of-two tile dividing R
+        tile = 8
+        while R % (tile * 2) == 0 and tile < 512:
+            tile *= 2
     slot_t, slot_id, log_T, traversed = pallas_trace(
         rays_o, rays_d, gpack, near, far, exp_power, secondary,
         backfacing_max_dist, backfacing_invalid_normal_threshold,
