@@ -283,15 +283,19 @@ def render_tile_with_grads(
     settings: RenderSettings, znear, zfar, key,
     num_bounces: int, max_hits: int, chunk: int,
     use_pallas: bool = False, exp_power_static: float = 3.0, gpack=None,
+    culling: dict = None,
 ):
     """Forward + hand-written backward for one ray tile.
 
     Returns (StepOutputs, final_rgb, ParamGrads over the full [N] capacity).
+    When `culling` is set, raw_scene/frames/attrs must all be in the SAME
+    (Morton-sorted) layout - grads come back in that layout.
     """
     steps, final, residuals = render_tile(
         rays_o, rays_d, frames, attrs, settings, znear, zfar, key,
         num_bounces, max_hits, chunk, keep_residuals=True,
         use_pallas=use_pallas, exp_power_static=exp_power_static, gpack=gpack,
+        culling=culling,
     )
     dLs = loss_gradients_per_step(steps, targets, settings, num_bounces)
 

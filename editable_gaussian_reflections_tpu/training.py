@@ -110,7 +110,9 @@ def grads_to_param_tree(grads: ParamGrads, scene: GaussianScene) -> dict:
 @partial(
     jax.jit,
     static_argnames=("width", "height", "num_bounces", "max_hits", "chunk",
-                     "tile", "jitter", "use_pallas", "exp_power_static"),
+                     "tile", "jitter", "use_pallas", "exp_power_static",
+                     "use_culling", "cull_tile", "cull_cluster",
+                     "max_clusters"),
 )
 def train_step(
     state: TrainState,
@@ -129,6 +131,10 @@ def train_step(
     jitter: bool = True,
     use_pallas: bool = False,
     exp_power_static: float = 3.0,
+    use_culling: bool = False,
+    cull_tile: int = 512,
+    cull_cluster: int = 256,
+    max_clusters: int = 192,
 ):
     scene = state.scene
     n = scene.capacity
@@ -137,6 +143,20 @@ def train_step(
         settings.global_scale_factor,
     )
     gpack = None
+    culling = None
+    gauss_perm = None
+    scene_for_bwd = scene
+    if use_pallas and use_culling:
+        # Morton-sort the scene for tight clusters; gradients are unsorted
+        # back at the end (hit ids refer to the sorted layout).
+        from .ops.culling import cluster_bounds, morton_order
+        gauss_perm = morton_order(frames)
+        frames = jax.tree_util.tree_map(lambda a: a[gauss_perm], frames)
+        attrs = jax.tree_util.tree_map(lambda a: a[gauss_perm], attrs)
+        scene_for_bwd = jax.tree_util.tree_map(lambda a: a[gauss_perm], scene)
+        bounds = cluster_bounds(frames, cull_cluster)
+        culling = dict(bounds=bounds, cull_tile=cull_tile,
+                       cluster=cull_cluster, mc=max_clusters)
     if use_pallas:
         from .ops.pallas.trace_kernel import pack_frames
         gpack = pack_frames(frames)
@@ -146,6 +166,18 @@ def train_step(
         width, height, camera.fov_y, camera.c2w,
         jitter_key=key_jit if jitter else None,
     ).reshape(-1, 3)
+    ray_inv = None
+    if culling is not None:
+        from .ops.culling import tile_pixel_order
+        th = tw = int(cull_tile ** 0.5)
+        if height % th or width % tw or th * tw != cull_tile:
+            th, tw = 16, cull_tile // 16
+        if height % th == 0 and width % tw == 0:
+            ray_perm, ray_inv_np = tile_pixel_order(height, width, th, tw)
+            ray_perm = jnp.asarray(ray_perm)
+            ray_inv = jnp.asarray(ray_inv_np)
+            dirs = dirs[ray_perm]
+            targets = jax.tree_util.tree_map(lambda a: a[ray_perm], targets)
     R = dirs.shape[0]
     tile_sz = min(tile, R)
     # padding would duplicate rays and double-count their gradients; the host
@@ -163,10 +195,10 @@ def train_step(
         i, dirs_i, tgt_i = inp
         steps, final, grads = render_tile_with_grads(
             origins, dirs_i, frames,
-            attrs, scene, tgt_i, settings, camera.znear, camera.zfar,
+            attrs, scene_for_bwd, tgt_i, settings, camera.znear, camera.zfar,
             jax.random.fold_in(key_b, i), num_bounces, max_hits, chunk,
             use_pallas=use_pallas, exp_power_static=exp_power_static,
-            gpack=gpack,
+            gpack=gpack, culling=culling,
         )
         l1 = jnp.sum(jnp.abs(steps.rgb[0] - tgt_i.diffuse).mean(-1))
         grads_acc = grads_acc + grads
@@ -178,6 +210,10 @@ def train_step(
         body, init,
         (jnp.arange(num_tiles), dirs_t, targets_t),
     )
+    if gauss_perm is not None:
+        # grads are in Morton-sorted space; scatter back to original slots
+        inv = jnp.argsort(gauss_perm)
+        grads = jax.tree_util.tree_map(lambda g: g[inv], grads)
 
     # * scale decay right after render (train.py:224-226)
     live = scene.live_mask

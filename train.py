@@ -144,6 +144,16 @@ def main(cfg: Config):
     viewpoint_stack = list(range(len(cameras)))
     use_pallas = use_pallas_backend(cfg)
     exp_power_static = float(cfg.exp_power)
+    # culling requires tiles that divide the frame and chunk-aligned clusters
+    use_culling = (
+        use_pallas and cfg.cull
+        and (W * H) % cfg.cull_tile == 0
+        and tile % cfg.cull_tile == 0
+        and state.scene.capacity % cfg.cull_cluster == 0
+    )
+    cull_kw = dict(use_culling=use_culling, cull_tile=cfg.cull_tile,
+                   cull_cluster=cfg.cull_cluster,
+                   max_clusters=cfg.max_clusters)
     start_time = time.time()
     num_bounces = 0 if cfg.no_bounces_until_iter > 0 else min(MAX_BOUNCES, 2)
 
@@ -186,6 +196,7 @@ def main(cfg: Config):
                 {**hyper, "apply_grads": 0.0}, step_key,
                 W, H, num_bounces, cfg.max_hits, cfg.trace_chunk, tile,
                 use_pallas=use_pallas, exp_power_static=exp_power_static,
+                **cull_kw,
             )
             kill = jnp.zeros(state.scene.capacity, bool)
             if prune_now:
@@ -203,6 +214,7 @@ def main(cfg: Config):
                 state, cp, targets, settings, lrs, hyper, step_key,
                 W, H, num_bounces, cfg.max_hits, cfg.trace_chunk, tile,
                 use_pallas=use_pallas, exp_power_static=exp_power_static,
+                **cull_kw,
             )
 
         if iteration in cfg.test_iterations:
