@@ -46,7 +46,7 @@ def main():
     kwargs = dict(
         num_bounces=2, max_hits=32, chunk=1024, tile=8192,
         use_pallas=use_pallas, use_culling=use_pallas,
-        cull_tile=512, cull_cluster=256, max_clusters=192,
+        cull_tile=256, cull_cluster=256, max_clusters=192,
     )
 
     # warmup/compile: on the axon backend the real compile happens lazily at

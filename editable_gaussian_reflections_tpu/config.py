@@ -92,7 +92,7 @@ class Config:
     # * TPU-specific knobs (no reference equivalent)
     backend: str = "auto"          # auto | pallas | xla (trace kernel choice)
     cull: bool = True              # cluster culling (pallas backend only)
-    cull_tile: int = 512           # rays per culling tile (square pixel tiles)
+    cull_tile: int = 256           # rays per culling tile (square pixel tiles)
     cull_cluster: int = 256        # gaussians per Morton cluster
     max_clusters: int = 192        # candidate clusters per tile
     max_hits: int = 32             # per-ray hit cap (BUFFER_SIZE*iters analog)

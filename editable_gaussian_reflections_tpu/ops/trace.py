@@ -102,33 +102,26 @@ def trace_rays_pallas(
     total transmittance; here we sort, gather, and recompute the per-hit
     quantities (alpha/gaussval/local_hit) for compositing/backward.
     """
-    from .pallas.trace_kernel import pallas_trace
+    from .pallas.trace_kernel import pallas_trace_fused
 
     R = rays_o.shape[0]
     if R % tile != 0:  # largest power-of-two tile dividing R
         tile = 8
         while R % (tile * 2) == 0 and tile < 512:
             tile *= 2
-    slot_t, slot_id, log_T, traversed = pallas_trace(
-        rays_o, rays_d, gpack, near, far, exp_power, secondary,
-        backfacing_max_dist, backfacing_invalid_normal_threshold,
-        max_hits=max_hits, chunk=chunk, tile=tile, interpret=interpret,
+    t_sorted, ids, alpha, gaussval, local_hit, log_T, traversed = (
+        pallas_trace_fused(
+            rays_o, rays_d, gpack, near, far, exp_power, secondary,
+            backfacing_max_dist, backfacing_invalid_normal_threshold,
+            max_hits=max_hits, chunk=chunk, tile=tile, interpret=interpret,
+        )
     )
-    order = jnp.argsort(slot_t, axis=-1)
-    t_sorted = jnp.take_along_axis(slot_t, order, axis=-1)
-    ids = jnp.take_along_axis(slot_id, order, axis=-1)
     valid = t_sorted < 1e37
     ids = jnp.where(valid, ids, 0)
-
-    frames_g = gather_frames(frames, ids)
-    alpha, gaussval, local_hit, t_world = intersect_gathered(
-        rays_o, rays_d, frames_g, exp_power
-    )
-    alpha = jnp.where(valid, alpha, 0.0)
     return RayHits(
         ids=ids,
         t=jnp.where(valid, t_sorted, 0.0),
-        alpha=alpha,
+        alpha=jnp.where(valid, alpha, 0.0),
         gaussval=gaussval,
         local_hit=local_hit,
         valid=valid,
@@ -167,28 +160,24 @@ def trace_rays_culled(
     the truncated-tail correction absorbs the residual, matching the
     reference's early-out semantics, forward_pass.cu:131-134).
     """
-    from .pallas.trace_kernel import pallas_trace_culled
+    from .pallas.trace_kernel import pallas_trace_culled_fused
 
-    slot_t, slot_id, log_T, traversed = pallas_trace_culled(
-        rays_o, rays_d, gpack, candidates, cand_near, near, far, exp_power,
-        secondary, backfacing_max_dist, backfacing_invalid_normal_threshold,
-        transmittance_threshold=transmittance_threshold,
-        max_hits=max_hits, cluster=cluster, tile=tile, interpret=interpret,
+    t_sorted, ids, alpha, gaussval, local_hit, log_T, traversed = (
+        pallas_trace_culled_fused(
+            rays_o, rays_d, gpack, candidates, cand_near, near, far,
+            exp_power, secondary, backfacing_max_dist,
+            backfacing_invalid_normal_threshold,
+            transmittance_threshold=transmittance_threshold,
+            max_hits=max_hits, cluster=cluster, tile=tile,
+            interpret=interpret,
+        )
     )
-    order = jnp.argsort(slot_t, axis=-1)
-    t_sorted = jnp.take_along_axis(slot_t, order, axis=-1)
-    ids = jnp.take_along_axis(slot_id, order, axis=-1)
     valid = t_sorted < 1e37
     ids = jnp.where(valid, ids, 0)
-    frames_g = gather_frames(frames, ids)
-    alpha, gaussval, local_hit, t_world = intersect_gathered(
-        rays_o, rays_d, frames_g, exp_power
-    )
-    alpha = jnp.where(valid, alpha, 0.0)
     return RayHits(
         ids=ids,
         t=jnp.where(valid, t_sorted, 0.0),
-        alpha=alpha,
+        alpha=jnp.where(valid, alpha, 0.0),
         gaussval=gaussval,
         local_hit=local_hit,
         valid=valid,

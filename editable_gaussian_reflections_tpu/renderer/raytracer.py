@@ -343,11 +343,18 @@ def render_frame(
     use_pallas: bool = False,
     exp_power_static: float = 3.0,
     use_culling: bool = False,
-    cull_tile: int = 512,
+    cull_tile: int = 256,
     cull_cluster: int = 256,
     max_clusters: int = 192,
 ):
     """Full-frame forward render. Returns StepOutputs [S, H*W, ...] + final."""
+    # culling needs dividing tiles/clusters (all static) - fall back silently
+    if use_culling and (
+        (width * height) % cull_tile != 0
+        or scene.capacity % cull_cluster != 0
+        or min(tile, width * height) % cull_tile != 0
+    ):
+        use_culling = False
     frames, attrs = build_frames(
         scene, settings.alpha_threshold, settings.exp_power,
         settings.global_scale_factor,
@@ -425,7 +432,8 @@ def render_frame(
     jax.jit,
     static_argnames=("width", "height", "num_bounces", "max_hits", "chunk",
                      "tile", "jitter", "spp", "use_pallas",
-                     "exp_power_static"),
+                     "exp_power_static", "use_culling", "cull_tile",
+                     "cull_cluster", "max_clusters"),
 )
 def render_accumulated(
     scene: GaussianScene,
@@ -442,6 +450,10 @@ def render_accumulated(
     jitter: bool = True,
     use_pallas: bool = False,
     exp_power_static: float = 3.0,
+    use_culling: bool = False,
+    cull_tile: int = 256,
+    cull_cluster: int = 256,
+    max_clusters: int = 192,
 ):
     """SPP accumulation: repeated jittered 1-spp renders averaged on device.
 
@@ -453,14 +465,16 @@ def render_accumulated(
         steps, final = render_frame.__wrapped__(
             scene, camera, settings, jax.random.fold_in(key, i),
             width, height, num_bounces, max_hits, chunk, tile, jitter,
-            use_pallas, exp_power_static,
+            use_pallas, exp_power_static, use_culling, cull_tile,
+            cull_cluster, max_clusters,
         )
         return jax.tree_util.tree_map(lambda a, b: a + b, acc, (steps, final))
 
     steps0, final0 = render_frame.__wrapped__(
         scene, camera, settings, jax.random.fold_in(key, 0),
         width, height, num_bounces, max_hits, chunk, tile, jitter,
-        use_pallas, exp_power_static,
+        use_pallas, exp_power_static, use_culling, cull_tile,
+        cull_cluster, max_clusters,
     )
     if spp > 1:
         steps, final = jax.lax.fori_loop(1, spp, body, (steps0, final0))

@@ -29,6 +29,20 @@ def camera_params(camera, znear=0.01, zfar=999.9) -> CameraParams:
     )
 
 
+def default_backend_kwargs(cfg=None):
+    """Pallas + culling when on TPU (mirrors training.use_pallas_backend)."""
+    use_pallas = jax.default_backend() != "cpu"
+    if cfg is not None and getattr(cfg, "backend", "auto") == "xla":
+        use_pallas = False
+    kw = dict(use_pallas=use_pallas)
+    if use_pallas and (cfg is None or getattr(cfg, "cull", True)):
+        kw.update(use_culling=True)
+        if cfg is not None:
+            kw.update(cull_tile=cfg.cull_tile, cull_cluster=cfg.cull_cluster,
+                      max_clusters=cfg.max_clusters)
+    return kw
+
+
 def render(
     camera,
     scene: GaussianScene,
@@ -43,6 +57,7 @@ def render(
     znear: float = 0.01,
     zfar: float = 999.9,
     targets_available: bool = True,
+    **backend_kwargs,
 ):
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -51,7 +66,7 @@ def render(
     steps, final = render_frame(
         scene, cam, settings, key, W, H,
         num_bounces=num_bounces, max_hits=max_hits, chunk=chunk, tile=tile,
-        jitter=jitter,
+        jitter=jitter, **backend_kwargs,
     )
 
     def chw(a, ch=3):  # [S, R, C] -> [S, C, H, W]

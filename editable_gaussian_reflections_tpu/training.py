@@ -132,7 +132,7 @@ def train_step(
     use_pallas: bool = False,
     exp_power_static: float = 3.0,
     use_culling: bool = False,
-    cull_tile: int = 512,
+    cull_tile: int = 256,
     cull_cluster: int = 256,
     max_clusters: int = 192,
 ):

@@ -136,12 +136,15 @@ class ViewerState:
         else:
             settings = self.settings
 
+        from ..renderer.render import default_backend_kwargs
+
         cam = camera_params(camera, znear=self.znear, zfar=self.zfar)
         key = jax.random.PRNGKey(self._accum_count)
         steps, final = render_frame(
             scene, cam, settings, key, self.width, self.height,
             num_bounces=self.num_bounces, max_hits=self.cfg.max_hits,
             chunk=self.cfg.trace_chunk, tile=self.cfg.ray_tile,
+            **default_backend_kwargs(self.cfg),
         )
         H, W = self.height, self.width
         frame = dict(

@@ -22,9 +22,14 @@ def measure_fps(cfg, views, scene_params, settings):
     from editable_gaussian_reflections_tpu.renderer.render import camera_params
     from editable_gaussian_reflections_tpu.renderer.raytracer import render_frame
 
+    from editable_gaussian_reflections_tpu.renderer.render import (
+        default_backend_kwargs,
+    )
+
     H, W = views[0].image_height, views[0].image_width
     kwargs = dict(num_bounces=2, max_hits=cfg.max_hits, chunk=cfg.trace_chunk,
-                  tile=cfg.ray_tile, jitter=True)
+                  tile=cfg.ray_tile, jitter=True,
+                  **default_backend_kwargs(cfg))
 
     # * Warmup (compile)
     for view in views:

@@ -40,10 +40,14 @@ def render_set(cli, cfg, cameras, scene_params, settings, save_dir):
     for idx, camera in enumerate(cameras):
         H, W = camera.image_height, camera.image_width
         cam = camera_params(camera, znear=cli.znear, zfar=camera.zfar)
+        from editable_gaussian_reflections_tpu.renderer.render import (
+            default_backend_kwargs,
+        )
         steps, final = render_accumulated(
             scene_params, cam, settings, jax.random.PRNGKey(idx), W, H,
             spp=cli.spp, num_bounces=2, max_hits=cfg.max_hits,
             chunk=cfg.trace_chunk, tile=cfg.ray_tile,
+            **default_backend_kwargs(cfg),
         )
         final_img = np.asarray(final).reshape(H, W, 3)
         if cli.denoise:

@@ -90,10 +90,14 @@ def training_report(cfg, scene, state, tb_writer, iteration, start_time,
     for vc in configs:
         scores = np.zeros(3)
         for idx, viewpoint in enumerate(vc["cameras"]):
+            from editable_gaussian_reflections_tpu.renderer.render import (
+                default_backend_kwargs,
+            )
             pkg = render(
                 viewpoint, state.scene, settings,
                 num_bounces=num_bounces, max_hits=cfg.max_hits,
                 chunk=cfg.trace_chunk, tile=cfg.ray_tile, denoise=True,
+                **default_backend_kwargs(cfg),
             )
             diffuse = np.clip(_np_tonemap(pkg.rgb[0]), 0, 1)
             specular = np.clip(_np_tonemap(pkg.rgb[1:].sum(0)), 0, 1)
