@@ -348,6 +348,7 @@ def render_frame(
     max_clusters: int = 192,
 ):
     """Full-frame forward render. Returns StepOutputs [S, H*W, ...] + final."""
+    cull_tile = min(cull_tile, 256)  # fused-kernel VMEM budget
     # culling needs dividing tiles/clusters (all static) - fall back silently
     if use_culling and (
         (width * height) % cull_tile != 0

@@ -146,6 +146,7 @@ def train_step(
     culling = None
     gauss_perm = None
     scene_for_bwd = scene
+    cull_tile = min(cull_tile, 256)  # fused-kernel VMEM budget
     if use_pallas and use_culling:
         # Morton-sort the scene for tight clusters; gradients are unsorted
         # back at the end (hit ids refer to the sorted layout).
