@@ -48,15 +48,29 @@ ROW_SF2 = 16        # scaling_factor^2
 ROW_NRM = 17        # 3 rows (raw normal, for the secondary backfacing test)
 ROW_NLEN = 20
 ROW_VALID = 21
-N_ROWS = 24         # padded
+ROW_RGB = 22        # 3 rows (relu-activated diffuse)
+ROW_F0 = 25         # 3 rows
+ROW_ROUGH = 28
+N_ROWS = 32         # padded
 
 INF = 3.0e38  # plain float: jnp constants would be captured as kernel consts
 
 
-def pack_frames(frames: GaussianFrames) -> jnp.ndarray:
-    """GaussianFrames -> [N_ROWS, N] f32 for the kernel."""
+def pack_frames(frames: GaussianFrames, attrs=None) -> jnp.ndarray:
+    """GaussianFrames (+ activated SceneAttributes) -> [N_ROWS, N] f32.
+
+    Shading attributes ride along so the fused kernel can extract them per
+    hit (zeros when attrs is None - geometry-only uses)."""
     n = frames.mean.shape[0]
     rot_rows = frames.rot.reshape(n, 9)
+    z = jnp.zeros((n,), jnp.float32)
+    if attrs is None:
+        rgb = f0 = (z, z, z)
+        rough = z
+    else:
+        rgb = (attrs.rgb[:, 0], attrs.rgb[:, 1], attrs.rgb[:, 2])
+        f0 = (attrs.f0[:, 0], attrs.f0[:, 1], attrs.f0[:, 2])
+        rough = attrs.roughness
     rows = [
         frames.mean[:, 0], frames.mean[:, 1], frames.mean[:, 2],
         *[rot_rows[:, i] for i in range(9)],
@@ -66,8 +80,10 @@ def pack_frames(frames: GaussianFrames) -> jnp.ndarray:
         frames.normal[:, 0], frames.normal[:, 1], frames.normal[:, 2],
         jnp.linalg.norm(frames.normal, axis=-1),
         frames.valid.astype(jnp.float32),
-        jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
+        *rgb,
+        *f0,
+        rough,
+        z, z, z,
     ]
     return jnp.stack(rows, axis=0)
 
@@ -373,8 +389,17 @@ def pallas_trace_mxu(
 # Aux layout: [R, AUX_N*K], blocks = alpha, gaussval, lh_x, lh_y, lh_z.
 # ---------------------------------------------------------------------------
 
-AUX_N = 5
-AUX_PAD = 8  # allocated blocks (lane alignment)
+# aux blocks: alpha, gaussval, lh_x/y/z (+ rgb3, nrm3, f03, roughness when
+# extract_attrs - measured slower than the XLA gather on dense scenes, so it
+# is off by default; the payload extraction runs inside the drain loop)
+AUX_GEO = 5
+AUX_ALL = 15
+
+
+def _aux_counts(extract_attrs: bool):
+    n = AUX_ALL if extract_attrs else AUX_GEO
+    pad = 16 if extract_attrs else 8
+    return n, pad
 
 
 def _drain_topk_aux(valid, t, aux, slot_t_ref, slot_id_ref, slot_aux_ref,
@@ -443,7 +468,7 @@ def _drain_topk_aux(valid, t, aux, slot_t_ref, slot_id_ref, slot_aux_ref,
         slot_aux_ref[:, a * K:(a + 1) * K] = out[3 + a]
 
 
-def _sort_slots(slot_t_ref, slot_id_ref, slot_aux_ref, K, A=AUX_N):
+def _sort_slots(slot_t_ref, slot_id_ref, slot_aux_ref, K, A=AUX_GEO):
     """In-kernel selection sort of the K slots by depth (runs once, at the
     final grid step - replaces the XLA argsort + take_along_axis stage).
 
@@ -484,7 +509,7 @@ def _sort_slots(slot_t_ref, slot_id_ref, slot_aux_ref, K, A=AUX_N):
 def _trace_chunk_body_fused(
     scalar_ref, rays_ref, gpack_ref,
     slot_t_ref, slot_id_ref, slot_aux_ref, logt_ref, trav_ref,
-    *, base_gaussian, K: int, exp_power: float,
+    *, base_gaussian, K: int, exp_power: float, extract_attrs: bool = False,
 ):
     """Per-chunk intersect + aux-extracting drain (fused variant)."""
     C = gpack_ref.shape[1]
@@ -550,8 +575,19 @@ def _trace_chunk_body_fused(
     sf = jnp.sqrt(jnp.maximum(sf2, 0.0))
     lh = [sf * (lo[i] + t * ld[i]) for i in range(3)]
 
+    aux = [alpha, gaussval, lh[0], lh[1], lh[2]]
+    if extract_attrs:
+        rgb = [jnp.broadcast_to(g[ROW_RGB + i, :][None, :], t.shape)
+               for i in range(3)]
+        f0 = [jnp.broadcast_to(g[ROW_F0 + i, :][None, :], t.shape)
+              for i in range(3)]
+        rough = jnp.broadcast_to(g[ROW_ROUGH, :][None, :], t.shape)
+        nrm_b = [jnp.broadcast_to(nrm[i], t.shape) for i in range(3)]
+        aux += [rgb[0], rgb[1], rgb[2], nrm_b[0], nrm_b[1], nrm_b[2],
+                f0[0], f0[1], f0[2], rough]
+
     _drain_topk_aux(
-        valid, t, [alpha, gaussval, lh[0], lh[1], lh[2]],
+        valid, t, aux,
         slot_t_ref, slot_id_ref, slot_aux_ref, base_gaussian, K,
     )
 
@@ -559,7 +595,7 @@ def _trace_chunk_body_fused(
 def _trace_kernel_fused(
     scalar_ref, rays_ref, gpack_ref,
     slot_t_ref, slot_id_ref, slot_aux_ref, logt_ref, trav_ref,
-    *, K: int, exp_power: float,
+    *, K: int, exp_power: float, extract_attrs: bool = False,
 ):
     c = pl.program_id(1)
     R = rays_ref.shape[0]
@@ -577,17 +613,19 @@ def _trace_kernel_fused(
         scalar_ref, rays_ref, gpack_ref,
         slot_t_ref, slot_id_ref, slot_aux_ref, logt_ref, trav_ref,
         base_gaussian=c * C, K=K, exp_power=exp_power,
+        extract_attrs=extract_attrs,
     )
 
     @pl.when(c == pl.num_programs(1) - 1)
     def _final_sort():
-        _sort_slots(slot_t_ref, slot_id_ref, slot_aux_ref, K)
+        _sort_slots(slot_t_ref, slot_id_ref, slot_aux_ref, K,
+                    A=_aux_counts(extract_attrs)[0])
 
 
 def _trace_kernel_culled_fused(
     cand_ref, cand_near_ref, scalar_ref, rays_ref, gpack_ref,
     slot_t_ref, slot_id_ref, slot_aux_ref, logt_ref, trav_ref,
-    *, K: int, exp_power: float, cluster: int,
+    *, K: int, exp_power: float, cluster: int, extract_attrs: bool = False,
 ):
     ti = pl.program_id(0)
     ci = pl.program_id(1)
@@ -615,14 +653,17 @@ def _trace_kernel_culled_fused(
             scalar_ref, rays_ref, gpack_ref,
             slot_t_ref, slot_id_ref, slot_aux_ref, logt_ref, trav_ref,
             base_gaussian=cand * cluster, K=K, exp_power=exp_power,
+            extract_attrs=extract_attrs,
         )
 
     @pl.when(ci == pl.num_programs(1) - 1)
     def _final_sort():
-        _sort_slots(slot_t_ref, slot_id_ref, slot_aux_ref, K)
+        _sort_slots(slot_t_ref, slot_id_ref, slot_aux_ref, K,
+                    A=_aux_counts(extract_attrs)[0])
 
 
-def _fused_out(R, K, tile, prefetch: bool):
+def _fused_out(R, K, tile, prefetch: bool, extract_attrs: bool = False):
+    aux_pad = _aux_counts(extract_attrs)[1]
     if prefetch:
         def idx(ti, ci, cand, cnear):
             return (ti, 0)
@@ -632,28 +673,39 @@ def _fused_out(R, K, tile, prefetch: bool):
     specs = (
         pl.BlockSpec((tile, K), idx, memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, K), idx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, AUX_PAD * K), idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, aux_pad * K), idx, memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, 128), idx, memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, 128), idx, memory_space=pltpu.VMEM),
     )
     shapes = (
         jax.ShapeDtypeStruct((R, K), jnp.float32),
         jax.ShapeDtypeStruct((R, K), jnp.float32),
-        jax.ShapeDtypeStruct((R, AUX_PAD * K), jnp.float32),
+        jax.ShapeDtypeStruct((R, aux_pad * K), jnp.float32),
         jax.ShapeDtypeStruct((R, 128), jnp.float32),
         jax.ShapeDtypeStruct((R, 128), jnp.float32),
     )
     return specs, shapes
 
 
-def _unpack_fused(slot_t, slot_id, slot_aux, logt, trav, K):
+def _unpack_fused(slot_t, slot_id, slot_aux, logt, trav, K,
+                  extract_attrs: bool = False):
+    def vec3(b):
+        return jnp.stack(
+            [slot_aux[:, (b + i) * K:(b + 1 + i) * K] for i in range(3)],
+            axis=-1,
+        )
+
+    attrs = None
+    if extract_attrs:
+        attrs = dict(rgb=vec3(5), normal=vec3(8), f0=vec3(11),
+                     roughness=slot_aux[:, 14 * K:15 * K])
     return (
         slot_t,
         slot_id.astype(jnp.int32),
         slot_aux[:, 0:K],                      # alpha
         slot_aux[:, K:2 * K],                  # gaussval
-        jnp.stack([slot_aux[:, (2 + i) * K:(3 + i) * K] for i in range(3)],
-                  axis=-1),                    # local_hit [R, K, 3]
+        vec3(2),                               # local_hit [R, K, 3]
+        attrs,
         logt[:, 0],
         trav[:, 0].astype(jnp.int32),
     )
@@ -661,13 +713,14 @@ def _unpack_fused(slot_t, slot_id, slot_aux, logt, trav, K):
 
 @partial(
     jax.jit,
-    static_argnames=("exp_power", "max_hits", "chunk", "tile", "interpret"),
+    static_argnames=("exp_power", "max_hits", "chunk", "tile", "interpret",
+                     "extract_attrs"),
 )
 def pallas_trace_fused(
     rays_o, rays_d, gpack, near, far, exp_power, secondary,
     backfacing_max_dist, backfacing_invalid_normal_threshold,
     max_hits: int = 32, chunk: int = 512, tile: int = 256,
-    interpret: bool = False,
+    interpret: bool = False, extract_attrs: bool = False,
 ):
     """Brute fused trace: returns (t_sorted, ids, alpha, gaussval,
     local_hit, log_full_T, traversed) - slots pre-sorted by depth."""
@@ -688,9 +741,11 @@ def pallas_trace_fused(
         jnp.zeros((), jnp.float32),
         jnp.zeros((), jnp.float32),
     ])
-    out_specs, out_shape = _fused_out(R, K, tile, prefetch=False)
+    out_specs, out_shape = _fused_out(R, K, tile, prefetch=False,
+                                      extract_attrs=extract_attrs)
     outs = pl.pallas_call(
-        partial(_trace_kernel_fused, K=K, exp_power=float(exp_power)),
+        partial(_trace_kernel_fused, K=K, exp_power=float(exp_power),
+                extract_attrs=extract_attrs),
         grid=(R // tile, N // chunk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -703,19 +758,20 @@ def pallas_trace_fused(
         out_shape=out_shape,
         interpret=interpret,
     )(scalars, rays, gpack)
-    return _unpack_fused(*outs, K)
+    return _unpack_fused(*outs, K, extract_attrs=extract_attrs)
 
 
 @partial(
     jax.jit,
-    static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret"),
+    static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret",
+                     "extract_attrs"),
 )
 def pallas_trace_culled_fused(
     rays_o, rays_d, gpack, candidates, cand_near, near, far, exp_power,
     secondary, backfacing_max_dist, backfacing_invalid_normal_threshold,
     transmittance_threshold=0.01,
     max_hits: int = 32, cluster: int = 256, tile: int = 256,
-    interpret: bool = False,
+    interpret: bool = False, extract_attrs: bool = False,
 ):
     """Culled fused trace; same returns as pallas_trace_fused."""
     R = rays_o.shape[0]
@@ -737,7 +793,8 @@ def pallas_trace_culled_fused(
         jnp.log(jnp.asarray(transmittance_threshold, jnp.float32)),
         jnp.zeros((), jnp.float32),
     ])
-    out_specs, out_shape = _fused_out(R, K, tile, prefetch=True)
+    out_specs, out_shape = _fused_out(R, K, tile, prefetch=True,
+                                      extract_attrs=extract_attrs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles, mc),
@@ -755,12 +812,12 @@ def pallas_trace_culled_fused(
     )
     outs = pl.pallas_call(
         partial(_trace_kernel_culled_fused, K=K, exp_power=float(exp_power),
-                cluster=cluster),
+                cluster=cluster, extract_attrs=extract_attrs),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(candidates, cand_near, scalars, rays, gpack)
-    return _unpack_fused(*outs, K)
+    return _unpack_fused(*outs, K, extract_attrs=extract_attrs)
 
 
 def _trace_kernel(

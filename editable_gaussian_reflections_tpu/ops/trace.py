@@ -78,7 +78,8 @@ def intersect_gathered(rays_o, rays_d, frames_g: GaussianFrames, exp_power,
 
 @partial(
     jax.jit,
-    static_argnames=("exp_power", "max_hits", "chunk", "tile", "interpret"),
+    static_argnames=("exp_power", "max_hits", "chunk", "tile", "interpret",
+                     "extract_attrs"),
 )
 def trace_rays_pallas(
     rays_o,
@@ -95,6 +96,7 @@ def trace_rays_pallas(
     backfacing_max_dist=0.1,
     backfacing_invalid_normal_threshold=0.9,
     interpret: bool = False,
+    extract_attrs: bool = False,
 ) -> RayHits:
     """Pallas-kernel trace producing the same RayHits as trace_rays.
 
@@ -109,16 +111,17 @@ def trace_rays_pallas(
         tile = 8
         while R % (tile * 2) == 0 and tile < 512:
             tile *= 2
-    t_sorted, ids, alpha, gaussval, local_hit, log_T, traversed = (
+    t_sorted, ids, alpha, gaussval, local_hit, slot_attrs, log_T, traversed = (
         pallas_trace_fused(
             rays_o, rays_d, gpack, near, far, exp_power, secondary,
             backfacing_max_dist, backfacing_invalid_normal_threshold,
             max_hits=max_hits, chunk=chunk, tile=tile, interpret=interpret,
+            extract_attrs=extract_attrs,
         )
     )
     valid = t_sorted < 1e37
     ids = jnp.where(valid, ids, 0)
-    return RayHits(
+    hits = RayHits(
         ids=ids,
         t=jnp.where(valid, t_sorted, 0.0),
         alpha=jnp.where(valid, alpha, 0.0),
@@ -128,6 +131,7 @@ def trace_rays_pallas(
         full_T=jnp.exp(log_T),
         num_traversed=traversed,
     )
+    return hits, slot_attrs
 
 
 @partial(
@@ -162,7 +166,7 @@ def trace_rays_culled(
     """
     from .pallas.trace_kernel import pallas_trace_culled_fused
 
-    t_sorted, ids, alpha, gaussval, local_hit, log_T, traversed = (
+    t_sorted, ids, alpha, gaussval, local_hit, slot_attrs, log_T, traversed = (
         pallas_trace_culled_fused(
             rays_o, rays_d, gpack, candidates, cand_near, near, far,
             exp_power, secondary, backfacing_max_dist,
@@ -174,7 +178,7 @@ def trace_rays_culled(
     )
     valid = t_sorted < 1e37
     ids = jnp.where(valid, ids, 0)
-    return RayHits(
+    hits = RayHits(
         ids=ids,
         t=jnp.where(valid, t_sorted, 0.0),
         alpha=jnp.where(valid, alpha, 0.0),
@@ -184,6 +188,7 @@ def trace_rays_culled(
         full_T=jnp.exp(log_T),
         num_traversed=traversed,
     )
+    return hits, slot_attrs
 
 
 @partial(jax.jit, static_argnames=("max_hits", "chunk", "secondary"))

@@ -143,7 +143,7 @@ def render_tile(
                 rays_o, rays_d, culling["bounds"], near, zfar,
                 tile=culling["cull_tile"], max_clusters=culling["mc"],
             )
-            hits = trace_rays_culled(
+            hits, slot_attrs = trace_rays_culled(
                 rays_o, rays_d, frames, gpack, cands, cnear,
                 exp_power_static, near, zfar,
                 jnp.float32(1.0 if step > 0 else 0.0),
@@ -155,7 +155,7 @@ def render_tile(
             )
         elif use_pallas:
             from ..ops.trace import trace_rays_pallas
-            hits = trace_rays_pallas(
+            hits, slot_attrs = trace_rays_pallas(
                 rays_o, rays_d, frames, gpack, exp_power_static, near, zfar,
                 jnp.float32(1.0 if step > 0 else 0.0),
                 max_hits=max_hits, chunk=chunk, tile=min(pallas_tile, R),
@@ -169,11 +169,19 @@ def render_tile(
                 backfacing_max_dist=settings.backfacing_max_dist,
                 backfacing_invalid_normal_threshold=settings.backfacing_invalid_normal_threshold,
             )
+            slot_attrs = None
         hits = _mask_hits(hits, alive)
 
-        g_attrs = jax.tree_util.tree_map(lambda a: a[hits.ids], attrs)
+        if slot_attrs is not None:
+            # attributes were extracted in-kernel; no [R,K] gathers needed
+            g_rgb, g_normal = slot_attrs["rgb"], slot_attrs["normal"]
+            g_f0, g_rough = slot_attrs["f0"], slot_attrs["roughness"]
+        else:
+            g_attrs = jax.tree_util.tree_map(lambda a: a[hits.ids], attrs)
+            g_rgb, g_normal = g_attrs.rgb, g_attrs.normal
+            g_f0, g_rough = g_attrs.f0, g_attrs.roughness
         comp = composite(
-            hits, g_attrs.rgb, g_attrs.normal, g_attrs.f0, g_attrs.roughness,
+            hits, g_rgb, g_normal, g_f0, g_rough,
             settings.transmittance_threshold,
             settings.eps_forward_normalization,
         )
@@ -387,7 +395,7 @@ def render_frame(
             ray_inv = jnp.asarray(ray_inv)
     if use_pallas:
         from ..ops.pallas.trace_kernel import pack_frames
-        gpack = pack_frames(frames)
+        gpack = pack_frames(frames, attrs)
     key_jit, key_b = jax.random.split(key)
     dirs = primary_ray_directions(
         width, height, camera.fov_y, camera.c2w,

@@ -160,7 +160,7 @@ def train_step(
                        cluster=cull_cluster, mc=max_clusters)
     if use_pallas:
         from .ops.pallas.trace_kernel import pack_frames
-        gpack = pack_frames(frames)
+        gpack = pack_frames(frames, attrs)
 
     key_jit, key_b = jax.random.split(key)
     dirs = primary_ray_directions(

@@ -33,8 +33,8 @@ def make_scene(n=96, seed=0):
 @pytest.mark.parametrize("secondary", [0.0, 1.0])
 def test_pallas_trace_matches_xla(secondary):
     scene = make_scene()
-    frames, _ = build_frames(scene, 0.005, 3.0)
-    gpack = pack_frames(frames)
+    frames, attrs = build_frames(scene, 0.005, 3.0)
+    gpack = pack_frames(frames, attrs)
     R = 16
     rng = np.random.default_rng(1)
     o = jnp.asarray(rng.uniform(-0.2, 0.2, (R, 3)).astype(np.float32))
@@ -44,9 +44,9 @@ def test_pallas_trace_matches_xla(secondary):
         (d_np / np.linalg.norm(d_np, axis=1, keepdims=True)).astype(np.float32))
     near, far = jnp.float32(0.1), jnp.float32(60.0)
 
-    hp = trace_rays_pallas(
+    hp, slot_attrs = trace_rays_pallas(
         o, d, frames, gpack, 3.0, near, far, jnp.float32(secondary),
-        max_hits=8, chunk=32, tile=16, interpret=True,
+        max_hits=8, chunk=32, tile=16, interpret=True, extract_attrs=True,
     )
     hx = trace_rays(
         o, d, frames, 3.0, near, far, max_hits=8, chunk=32,
@@ -68,4 +68,15 @@ def test_pallas_trace_matches_xla(secondary):
     np.testing.assert_allclose(
         np.where(vp, np.asarray(hp.alpha), 0),
         np.where(vx, np.asarray(hx.alpha), 0), rtol=1e-3, atol=1e-6,
+    )
+    # in-kernel extracted shading attrs must equal the gathered ones
+    ga = np.asarray(attrs.rgb)[np.asarray(hp.ids)]
+    np.testing.assert_allclose(
+        np.where(vp[..., None], np.asarray(slot_attrs["rgb"]), 0),
+        np.where(vp[..., None], ga, 0), rtol=1e-6,
+    )
+    gr = np.asarray(attrs.roughness)[np.asarray(hp.ids)]
+    np.testing.assert_allclose(
+        np.where(vp, np.asarray(slot_attrs["roughness"]), 0),
+        np.where(vp, gr, 0), rtol=1e-6,
     )

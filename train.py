@@ -127,16 +127,30 @@ def training_report(cfg, scene, state, tb_writer, iteration, start_time,
             f.write(f"{iteration}, {scores[0]:02.2f}, {scores[1]:02.2f}, {scores[2]:02.2f}\n")
 
 
-def main(cfg: Config):
+def main(cfg: Config, resume: bool = False):
     import jax
     import jax.numpy as jnp
+
+    from editable_gaussian_reflections_tpu.checkpoint import (
+        checkpoint_path,
+        latest_checkpoint,
+        load_train_state,
+        save_train_state,
+    )
 
     seed = set_seeds()
     key = jax.random.PRNGKey(seed)
 
     tb_writer = prepare_output_and_logger(cfg)
     scene = Scene(cfg)
-    state = init_train_state(scene.gaussians)
+    first_iter = 1
+    ckpt = latest_checkpoint(cfg.model_path) if resume else None
+    if ckpt:
+        state = load_train_state(ckpt)
+        first_iter = int(ckpt.split("_")[-1]) + 1
+        print(f"resumed from {ckpt} at iteration {first_iter}")
+    else:
+        state = init_train_state(scene.gaussians)
     settings = settings_from_config(cfg)
 
     cameras = scene.getTrainCameras()
@@ -165,7 +179,28 @@ def main(cfg: Config):
     hyper = dict(beta_1=cfg.beta_1, beta_2=cfg.beta_2,
                  scale_decay=cfg.scale_decay, apply_grads=1.0)
 
-    for iteration in range(1, cfg.iterations + 1):
+    viewer_state = None
+    if cfg.viewer:
+        # live training viewer over websockets (reference train.py:189-198
+        # spawns the imgui viewer thread; here the headless render service)
+        from threading import Thread
+
+        from editable_gaussian_reflections_tpu.scene.editable import (
+            EditableGaussianScene,
+        )
+        from editable_gaussian_reflections_tpu.viewer.service import (
+            RenderService,
+        )
+        from editable_gaussian_reflections_tpu.viewer.state import ViewerState
+
+        viewer_state = ViewerState(
+            EditableGaussianScene(state.scene), cfg,
+            width=min(W, 512), height=min(H, 512), fovy=cameras[0].FoVy,
+            settings=settings,
+        )
+        Thread(target=RenderService(viewer_state).serve, daemon=True).start()
+
+    for iteration in range(first_iter, cfg.iterations + 1):
         if not viewpoint_stack:
             viewpoint_stack = list(range(len(cameras)))
         cam_idx = viewpoint_stack.pop(randint(0, len(viewpoint_stack) - 1))
@@ -221,12 +256,24 @@ def main(cfg: Config):
                 **cull_kw,
             )
 
+        if viewer_state is not None:
+            viewer_state.gaussians.base = state.scene
+            viewer_state.gaussians.is_dirty = True
+            viewer_state.gaussians._cached = None
+
         if iteration in cfg.test_iterations:
             training_report(cfg, scene, state, tb_writer, iteration,
                             start_time, settings, num_bounces)
         if iteration in cfg.save_iterations:
             print(f"\n[ITER {iteration}] Saving Gaussians")
             scene.save(iteration, state.scene)
+            # full-state checkpoint (params + Adam moments) for mid-training
+            # resume - beyond the reference's PLY-only checkpoints
+            try:
+                save_train_state(checkpoint_path(cfg.model_path, iteration),
+                                 state)
+            except Exception as e:  # noqa: BLE001 - checkpointing is best-effort
+                print(f"[checkpoint] skipped: {e}")
 
         # * bounce warmup end: restore bounces + inject far-field shell
         if iteration == cfg.no_bounces_until_iter or (
@@ -245,7 +292,10 @@ def main(cfg: Config):
 
 
 if __name__ == "__main__":
-    cfg = parse_config(prog="train")
+    import sys
+    resume = "--resume" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--resume"]
+    cfg = parse_config(argv, prog="train")
     if cfg.viewer:
         cfg.test_iterations = []
-    main(cfg)
+    main(cfg, resume=resume)
