@@ -174,6 +174,10 @@ def main(cfg: Config, resume: bool = False):
                    max_clusters=cfg.max_clusters)
     start_time = time.time()
     num_bounces = 0 if cfg.no_bounces_until_iter > 0 else min(MAX_BOUNCES, 2)
+    if first_iter > max(cfg.no_bounces_until_iter, 0):
+        # resuming past the warmup boundary: bounces already enabled and the
+        # far-field shell is already in the checkpointed state
+        num_bounces = min(MAX_BOUNCES, 2)
 
     rng = np.random.default_rng(seed)
     hyper = dict(beta_1=cfg.beta_1, beta_2=cfg.beta_2,
