@@ -111,6 +111,12 @@ def trace_rays_pallas(
         tile = 8
         while R % (tile * 2) == 0 and tile < 512:
             tile *= 2
+    # VMEM budget: the kernel's live [tile, chunk] temporaries cap the product
+    N = gpack.shape[1]
+    max_chunk = max(128, (256 * 512) // tile)
+    chunk = min(chunk, max_chunk)
+    while N % chunk != 0 and chunk > 8:
+        chunk //= 2
     t_sorted, ids, alpha, gaussval, local_hit, slot_attrs, log_T, traversed = (
         pallas_trace_fused(
             rays_o, rays_d, gpack, near, far, exp_power, secondary,
