@@ -23,8 +23,15 @@ Intersection identities (avoid sqrt/normalize of the OptiX formulation):
 with lo = Dinv R^T (o - mu), ld = Dinv R^T d:
   t_world = -<lo,ld>/<ld,ld>,   |u|^2 = <lo,lo> - <lo,ld>^2/<ld,ld>.
 
-Slot buffers come back unsorted; the caller sorts [R, K] by t (cheap) and
-recomputes per-hit quantities with ops.trace.intersect_gathered.
+A final in-kernel selection sort orders the K slots by depth, and the drain
+extracts per-hit payloads (alpha/gaussval/local_hit, optionally shading
+attributes) into slot aux buffers, so no XLA argsort/gather stages remain.
+
+Two dead ends were measured in round 1 and deliberately removed (RESULTS.md):
+an MXU-featurized variant (precision-matrix quadratic forms as [R,32]x[32,C]
+matmuls, 0.87x - the rank-32 contraction starves the MXU while the epilogue
+stays VPU-bound) and the pre-fusion kernels that returned unsorted slots for
+XLA post-processing.
 """
 
 from __future__ import annotations
@@ -87,297 +94,6 @@ def pack_frames(frames: GaussianFrames, attrs=None) -> jnp.ndarray:
     ]
     return jnp.stack(rows, axis=0)
 
-
-# ---------------------------------------------------------------------------
-# MXU-featurized intersection
-#
-# The per-pair contraction dominates the VPU cost of the kernel above.  All
-# three ray/Gaussian dot products are quadratic forms in the per-Gaussian
-# PRECISION MATRIX P = R D^-2 R^T (D = diag(sizes)):
-#     <ld,ld> = d^T P d        <lo,lo> = (o-mu)^T P (o-mu)
-#     <lo,ld> = d^T P (o-mu)   n.ld    = (R D^-1 n) . d
-# which makes them one [R, F] x [F, C] matmul against per-Gaussian
-# coefficient columns - MXU work instead of ~45 VPU ops per pair.  The VPU
-# epilogue (t, |u|^2, validity, alpha, logT, drain) is unchanged.
-#
-# Ray features (F = 32, padded):
-#   0-5   d1²,d2²,d3², 2d1d2, 2d1d3, 2d2d3
-#   6-11  same of o
-#   12-14 o1,o2,o3      15  const 1
-#   16-21 d1o1,d2o2,d3o3, d1o2+d2o1, d1o3+d3o1, d2o3+d3o2
-#   22-24 d1,d2,d3
-# Coefficient rows per output (gcoef [4*32, N]):
-#   ll : rows 0-5   <- (p11,p22,p33,p12,p13,p23)
-#   oo : rows 6-11 <- P, rows 12-14 <- -2 P mu, row 15 <- mu^T P mu
-#   ol : rows 16-21 <- P, rows 22-24 <- -P mu
-#   nd : rows 22-24 <- R D^-1 n
-# ---------------------------------------------------------------------------
-
-MXU_F = 32
-MXU_ROWS = 4 * MXU_F
-
-
-def pack_frames_mxu(frames: GaussianFrames):
-    """GaussianFrames -> (gcoef [128, N], gscal [8, N]) for the MXU kernel."""
-    n = frames.mean.shape[0]
-    rot = frames.rot                       # [N, 3, 3]
-    inv2 = frames.inv_sizes**2             # [N, 3]
-    # P = R diag(inv2) R^T
-    P = jnp.einsum("nik,nk,njk->nij", rot, inv2, rot)
-    mu = frames.mean
-    Pmu = jnp.einsum("nij,nj->ni", P, mu)
-    muPmu = jnp.einsum("ni,ni->n", mu, Pmu)
-    # n . (Dinv R^T d) = (R Dinv n) . d   ->   q = R @ (inv_sizes * n)
-    q = jnp.einsum("nij,nj->ni", rot, frames.inv_sizes * frames.normal)
-    p6 = jnp.stack([P[:, 0, 0], P[:, 1, 1], P[:, 2, 2],
-                    P[:, 0, 1], P[:, 0, 2], P[:, 1, 2]], axis=0)  # [6, N]
-
-    z = jnp.zeros((1, n), jnp.float32)
-
-    def rows(*blocks):
-        out = jnp.zeros((MXU_F, n), jnp.float32)
-        for start, arr in blocks:
-            out = out.at[start:start + arr.shape[0]].set(arr)
-        return out
-
-    ll = rows((0, p6))
-    oo = rows((6, p6), (12, -2.0 * Pmu.T), (15, muPmu[None]))
-    ol = rows((16, p6), (22, -Pmu.T))
-    nd = rows((22, q.T))
-    gcoef = jnp.concatenate([ll, oo, ol, nd], axis=0)            # [128, N]
-
-    gscal = jnp.stack([
-        frames.opacity,
-        frames.sf * frames.sf,
-        jnp.linalg.norm(frames.normal, axis=-1),
-        frames.valid.astype(jnp.float32),
-        jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
-    ], axis=0)                                                    # [8, N]
-    return gcoef, gscal
-
-
-def _ray_features(rays_ref):
-    """[R, 8] rays -> [R, MXU_F] feature matrix (built per chunk; cheap)."""
-    R = rays_ref.shape[0]
-    o = [rays_ref[:, i:i + 1] for i in range(3)]
-    d = [rays_ref[:, 3 + i:4 + i] for i in range(3)]
-    one = jnp.ones((R, 1), jnp.float32)
-    zero = jnp.zeros((R, MXU_F - 25), jnp.float32)
-    feats = jnp.concatenate([
-        d[0] * d[0], d[1] * d[1], d[2] * d[2],
-        2.0 * d[0] * d[1], 2.0 * d[0] * d[2], 2.0 * d[1] * d[2],
-        o[0] * o[0], o[1] * o[1], o[2] * o[2],
-        2.0 * o[0] * o[1], 2.0 * o[0] * o[2], 2.0 * o[1] * o[2],
-        o[0], o[1], o[2],
-        one,
-        d[0] * o[0], d[1] * o[1], d[2] * o[2],
-        d[0] * o[1] + d[1] * o[0], d[0] * o[2] + d[2] * o[0],
-        d[1] * o[2] + d[2] * o[1],
-        d[0], d[1], d[2],
-        zero,
-    ], axis=1)
-    return feats
-
-
-def _trace_chunk_body_mxu(
-    scalar_ref, rays_ref, gcoef_ref, gscal_ref,
-    slot_t_ref, slot_id_ref, logt_ref, trav_ref,
-    *, base_gaussian, K: int, exp_power: float,
-):
-    """MXU variant of _trace_chunk_body: dots via matmul, epilogue on VPU."""
-    C = gcoef_ref.shape[1]
-    R = rays_ref.shape[0]
-    near = scalar_ref[0]
-    far = scalar_ref[1]
-    secondary = scalar_ref[3]
-    bf_max_dist = scalar_ref[4]
-    bf_thr = scalar_ref[5]
-
-    feats = _ray_features(rays_ref)                              # [R, 32]
-    dot_ll = jnp.dot(feats, gcoef_ref[0:MXU_F, :],
-                     preferred_element_type=jnp.float32)
-    dot_oo = jnp.dot(feats, gcoef_ref[MXU_F:2 * MXU_F, :],
-                     preferred_element_type=jnp.float32)
-    dot_ol = jnp.dot(feats, gcoef_ref[2 * MXU_F:3 * MXU_F, :],
-                     preferred_element_type=jnp.float32)
-    ndotd = jnp.dot(feats, gcoef_ref[3 * MXU_F:4 * MXU_F, :],
-                    preferred_element_type=jnp.float32)
-
-    opacity = gscal_ref[0, :][None, :]
-    sf2 = gscal_ref[1, :][None, :]
-    nlen = gscal_ref[2, :][None, :]
-    gvalid = gscal_ref[3, :][None, :]
-
-    inv_ll = 1.0 / jnp.maximum(dot_ll, 1e-30)
-    t = -dot_ol * inv_ll
-    sq = dot_oo - dot_ol * dot_ol * inv_ll
-
-    valid = (gvalid > 0.0) & (dot_ol <= 0.0) & (sq <= 1.0)
-    valid &= (t > near) & (t < far)
-    reject = (t < bf_max_dist) & (nlen > bf_thr) & (ndotd > 0.0)
-    valid &= jnp.logical_or(secondary <= 0.0, ~reject)
-
-    k2 = 2.0 * exp_power
-    sqs = jnp.maximum(sq * sf2, 0.0)
-    if float(exp_power).is_integer() and 1 <= exp_power <= 8:
-        powered = sqs
-        for _ in range(int(exp_power) - 1):
-            powered = powered * sqs
-    else:
-        powered = jnp.power(sqs, exp_power)
-    gaussval = jnp.exp(-powered / k2)
-    alpha = MAX_ALPHA * gaussval * opacity
-    logt_ref[:, 0:1] += jnp.sum(
-        jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1, keepdims=True
-    )
-    trav_ref[:, 0:1] += jnp.broadcast_to(jnp.sum(gvalid), (R, 1))
-
-    _drain_topk(valid, t, slot_t_ref, slot_id_ref, base_gaussian, K)
-
-
-def _drain_topk(valid, t, slot_t_ref, slot_id_ref, base_gaussian, K):
-    """Streaming top-K drain (shared; see module docstring)."""
-    R, C = t.shape
-    base_id = jax.lax.convert_element_type(base_gaussian, jnp.float32)
-    lane_ids = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, C), 1).astype(jnp.float32)
-        + base_id
-    )
-    slot_idx = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1).astype(jnp.float32)
-
-    def cond(state):
-        remaining, slot_t, slot_id = state
-        curmax = jnp.max(slot_t, axis=1, keepdims=True)
-        return jnp.any((remaining > 0.0) & (t < curmax))
-
-    def body(state):
-        remaining, slot_t, slot_id = state
-        curmax = jnp.max(slot_t, axis=1, keepdims=True)
-        insertable = (remaining > 0.0) & (t < curmax)
-        tm = jnp.where(insertable, t, INF)
-        tmin = jnp.min(tm, axis=1, keepdims=True)
-        has = tmin < INF
-        is_min = insertable & (tm <= tmin)
-        id_sel = jnp.min(
-            jnp.where(is_min, lane_ids, INF), axis=1, keepdims=True
-        )
-        lane_oh = is_min & (lane_ids <= id_sel)
-        remaining = jnp.where(lane_oh, 0.0, remaining)
-
-        smax = jnp.max(slot_t, axis=1, keepdims=True)
-        s_is_max = slot_t >= smax
-        s_win = jnp.min(
-            jnp.where(s_is_max, slot_idx, jnp.float32(1e9)), axis=1,
-            keepdims=True,
-        )
-        slot_oh = s_is_max & (slot_idx <= s_win) & has
-        slot_t = jnp.where(slot_oh, jnp.broadcast_to(tmin, slot_t.shape),
-                           slot_t)
-        slot_id = jnp.where(slot_oh, jnp.broadcast_to(id_sel, slot_id.shape),
-                            slot_id)
-        return remaining, slot_t, slot_id
-
-    _, st, si = jax.lax.while_loop(
-        cond, body,
-        (valid.astype(jnp.float32), slot_t_ref[:], slot_id_ref[:]),
-    )
-    slot_t_ref[:] = st
-    slot_id_ref[:] = si
-
-
-def _trace_kernel_mxu(
-    scalar_ref, rays_ref, gcoef_ref, gscal_ref,
-    slot_t_ref, slot_id_ref, logt_ref, trav_ref,
-    *, K: int, exp_power: float,
-):
-    c = pl.program_id(1)
-    C = gcoef_ref.shape[1]
-    R = rays_ref.shape[0]
-
-    @pl.when(c == 0)
-    def _init():
-        slot_t_ref[:] = jnp.full((R, K), INF, jnp.float32)
-        slot_id_ref[:] = jnp.zeros((R, K), jnp.float32)
-        logt_ref[:] = jnp.zeros_like(logt_ref)
-        trav_ref[:] = jnp.zeros_like(trav_ref)
-
-    _trace_chunk_body_mxu(
-        scalar_ref, rays_ref, gcoef_ref, gscal_ref,
-        slot_t_ref, slot_id_ref, logt_ref, trav_ref,
-        base_gaussian=c * C, K=K, exp_power=exp_power,
-    )
-
-
-@partial(
-    jax.jit,
-    static_argnames=("exp_power", "max_hits", "chunk", "tile", "interpret"),
-)
-def pallas_trace_mxu(
-    rays_o, rays_d, gcoef, gscal, near, far, exp_power, secondary,
-    backfacing_max_dist, backfacing_invalid_normal_threshold,
-    max_hits: int = 32, chunk: int = 512, tile: int = 256,
-    interpret: bool = False,
-):
-    """MXU-featurized brute trace; same contract as pallas_trace."""
-    R = rays_o.shape[0]
-    N = gcoef.shape[1]
-    assert N % chunk == 0 and R % tile == 0
-    K = max_hits
-    n_chunks = N // chunk
-    n_tiles = R // tile
-
-    rays = jnp.concatenate(
-        [rays_o, rays_d, jnp.zeros((R, 2), jnp.float32)], axis=1
-    ).astype(jnp.float32)
-    scalars = jnp.stack([
-        jnp.asarray(near, jnp.float32),
-        jnp.asarray(far, jnp.float32),
-        jnp.zeros((), jnp.float32),
-        jnp.asarray(secondary, jnp.float32),
-        jnp.asarray(backfacing_max_dist, jnp.float32),
-        jnp.asarray(backfacing_invalid_normal_threshold, jnp.float32),
-        jnp.zeros((), jnp.float32),
-        jnp.zeros((), jnp.float32),
-    ])
-
-    slot_t, slot_id, logt, trav = pl.pallas_call(
-        partial(_trace_kernel_mxu, K=K, exp_power=float(exp_power)),
-        grid=(n_tiles, n_chunks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile, 8), lambda ti, c: (ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((MXU_ROWS, chunk), lambda ti, c: (0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, chunk), lambda ti, c: (0, c),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((tile, K), lambda ti, c: (ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, K), lambda ti, c: (ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 128), lambda ti, c: (ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 128), lambda ti, c: (ti, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((R, K), jnp.float32),
-            jax.ShapeDtypeStruct((R, K), jnp.float32),
-            jax.ShapeDtypeStruct((R, 128), jnp.float32),
-            jax.ShapeDtypeStruct((R, 128), jnp.float32),
-        ),
-        interpret=interpret,
-    )(scalars, rays, gcoef, gscal)
-
-    return (
-        slot_t,
-        slot_id.astype(jnp.int32),
-        logt[:, 0],
-        trav[:, 0].astype(jnp.int32),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -818,375 +534,3 @@ def pallas_trace_culled_fused(
         interpret=interpret,
     )(candidates, cand_near, scalars, rays, gpack)
     return _unpack_fused(*outs, K, extract_attrs=extract_attrs)
-
-
-def _trace_kernel(
-    scalar_ref,            # SMEM [8]: near, far, exp_power, secondary,
-                           #           bf_max_dist, bf_inv_nrm_thr, chunk, _
-    rays_ref,              # VMEM [R, 8]: ox oy oz dx dy dz pad pad
-    gpack_ref,             # VMEM [N_ROWS, C] (current chunk block)
-    slot_t_ref,            # VMEM out [R, K]
-    slot_id_ref,           # VMEM out [R, K] (f32-encoded ids)
-    logt_ref,              # VMEM out [R, 128] (lane 0 meaningful)
-    trav_ref,              # VMEM out [R, 128] (lane 0 meaningful)
-    *,
-    K: int,
-    exp_power: float,
-):
-    c = pl.program_id(1)   # chunk index (grid = (tiles, chunks))
-    C = gpack_ref.shape[1]
-    R = rays_ref.shape[0]
-
-    @pl.when(c == 0)
-    def _init():
-        slot_t_ref[:] = jnp.full((R, K), INF, jnp.float32)
-        slot_id_ref[:] = jnp.zeros((R, K), jnp.float32)
-        logt_ref[:] = jnp.zeros_like(logt_ref)
-        trav_ref[:] = jnp.zeros_like(trav_ref)
-
-    _trace_chunk_body(
-        scalar_ref, rays_ref, gpack_ref,
-        slot_t_ref, slot_id_ref, logt_ref, trav_ref,
-        base_gaussian=c * C, K=K, exp_power=exp_power,
-    )
-
-
-def _trace_chunk_body(
-    scalar_ref, rays_ref, gpack_ref,
-    slot_t_ref, slot_id_ref, logt_ref, trav_ref,
-    *, base_gaussian, K: int, exp_power: float,
-):
-    """Shared per-chunk intersection + drain (see module docstring)."""
-    C = gpack_ref.shape[1]
-    R = rays_ref.shape[0]
-    near = scalar_ref[0]
-    far = scalar_ref[1]
-    secondary = scalar_ref[3]
-    bf_max_dist = scalar_ref[4]
-    bf_thr = scalar_ref[5]
-
-    o = [rays_ref[:, i:i + 1] for i in range(3)]          # [R, 1]
-    d = [rays_ref[:, 3 + i:4 + i] for i in range(3)]
-
-    g = gpack_ref
-    mean = [g[ROW_MEAN + i, :][None, :] for i in range(3)]  # [1, C]
-    rot = [g[ROW_ROT + i, :][None, :] for i in range(9)]
-    inv = [g[ROW_INV + i, :][None, :] for i in range(3)]
-    opacity = g[ROW_OPACITY, :][None, :]
-    sf2 = g[ROW_SF2, :][None, :]
-    gvalid = g[ROW_VALID, :][None, :]
-
-    rel = [o[j] - mean[j] for j in range(3)]              # [R, C]
-    # lo_i = inv_i * sum_j rot[3j+i] * rel_j   (R^T contraction)
-    lo = [
-        inv[i] * (rot[i] * rel[0] + rot[3 + i] * rel[1] + rot[6 + i] * rel[2])
-        for i in range(3)
-    ]
-    ld = [
-        inv[i] * (rot[i] * d[0] + rot[3 + i] * d[1] + rot[6 + i] * d[2])
-        for i in range(3)
-    ]
-
-    dot_ol = lo[0] * ld[0] + lo[1] * ld[1] + lo[2] * ld[2]
-    dot_ll = ld[0] * ld[0] + ld[1] * ld[1] + ld[2] * ld[2]
-    dot_oo = lo[0] * lo[0] + lo[1] * lo[1] + lo[2] * lo[2]
-    inv_ll = 1.0 / jnp.maximum(dot_ll, 1e-30)
-    t = -dot_ol * inv_ll
-    sq = dot_oo - dot_ol * dot_ol * inv_ll
-
-    valid = (gvalid > 0.0) & (dot_ol <= 0.0) & (sq <= 1.0)
-    valid &= (t > near) & (t < far)
-
-    # secondary-ray backfacing rejection (shaders.cu:53-61)
-    nrm = [g[ROW_NRM + i, :][None, :] for i in range(3)]
-    nlen = g[ROW_NLEN, :][None, :]
-    ndotd = nrm[0] * ld[0] + nrm[1] * ld[1] + nrm[2] * ld[2]
-    reject = (t < bf_max_dist) & (nlen > bf_thr) & (ndotd > 0.0)
-    valid &= jnp.logical_or(secondary <= 0.0, ~reject)
-
-    # exact total transmittance + traversal stats
-    # (exp_power is static: integer powers become multiplies instead of a
-    # pow -> exp(log) transcendental chain per pair)
-    k2 = 2.0 * exp_power
-    sqs = jnp.maximum(sq * sf2, 0.0)
-    if float(exp_power).is_integer() and 1 <= exp_power <= 8:
-        powered = sqs
-        for _ in range(int(exp_power) - 1):
-            powered = powered * sqs
-    else:
-        powered = jnp.power(sqs, exp_power)
-    gaussval = jnp.exp(-powered / k2)
-    alpha = MAX_ALPHA * gaussval * opacity
-    logt_ref[:, 0:1] += jnp.sum(
-        jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1, keepdims=True
-    )
-    trav_ref[:, 0:1] += jnp.broadcast_to(jnp.sum(gvalid), (R, 1))
-
-    # streaming top-K drain (tie-breaks via index-min reductions; Pallas TPU
-    # has no cumsum lowering)
-    base_id = jax.lax.convert_element_type(base_gaussian, jnp.float32)
-    lane_ids = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, C), 1).astype(jnp.float32)
-        + base_id
-    )
-    slot_idx = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1).astype(jnp.float32)
-
-    # (the loop carry must be float vectors - Mosaic cannot yield i1 vectors)
-    def cond(state):
-        remaining, slot_t, slot_id = state
-        curmax = jnp.max(slot_t, axis=1, keepdims=True)   # [R, 1]
-        return jnp.any((remaining > 0.0) & (t < curmax))
-
-    def body(state):
-        remaining, slot_t, slot_id = state
-        curmax = jnp.max(slot_t, axis=1, keepdims=True)
-        insertable = (remaining > 0.0) & (t < curmax)
-        tm = jnp.where(insertable, t, INF)
-        tmin = jnp.min(tm, axis=1, keepdims=True)         # [R, 1]
-        has = tmin < INF                                   # [R, 1]
-        is_min = insertable & (tm <= tmin)
-        # unique winning lane = smallest lane id among minima
-        id_sel = jnp.min(
-            jnp.where(is_min, lane_ids, INF), axis=1, keepdims=True
-        )
-        lane_oh = is_min & (lane_ids <= id_sel)
-        remaining = jnp.where(lane_oh, 0.0, remaining)
-
-        # replace the max slot (smallest slot index among maxima)
-        smax = jnp.max(slot_t, axis=1, keepdims=True)
-        s_is_max = slot_t >= smax
-        s_win = jnp.min(
-            jnp.where(s_is_max, slot_idx, jnp.float32(1e9)), axis=1,
-            keepdims=True,
-        )
-        slot_oh = s_is_max & (slot_idx <= s_win) & has     # [R, K]
-        slot_t = jnp.where(slot_oh, jnp.broadcast_to(tmin, slot_t.shape),
-                           slot_t)
-        slot_id = jnp.where(slot_oh, jnp.broadcast_to(id_sel, slot_id.shape),
-                            slot_id)
-        return remaining, slot_t, slot_id
-
-    _, st, si = jax.lax.while_loop(
-        cond, body,
-        (valid.astype(jnp.float32), slot_t_ref[:], slot_id_ref[:]),
-    )
-    slot_t_ref[:] = st
-    slot_id_ref[:] = si
-
-
-@partial(
-    jax.jit,
-    static_argnames=("exp_power", "max_hits", "chunk", "tile", "interpret"),
-)
-def pallas_trace(
-    rays_o,               # [R, 3]
-    rays_d,               # [R, 3]
-    gpack,                # [N_ROWS, N] from pack_frames
-    near,
-    far,
-    exp_power,
-    secondary,            # traced bool/float (0.0/1.0)
-    backfacing_max_dist,
-    backfacing_invalid_normal_threshold,
-    max_hits: int = 32,
-    chunk: int = 512,
-    tile: int = 256,
-    interpret: bool = False,
-):
-    """Returns (slot_t [R,K] unsorted (INF=empty), slot_id [R,K] int32,
-    log_full_T [R], traversed [R] int32)."""
-    R = rays_o.shape[0]
-    N = gpack.shape[1]
-    assert N % chunk == 0, (N, chunk)
-    assert R % tile == 0, (R, tile)
-    K = max_hits
-    n_chunks = N // chunk
-    n_tiles = R // tile
-
-    rays = jnp.concatenate(
-        [rays_o, rays_d, jnp.zeros((R, 2), jnp.float32)], axis=1
-    ).astype(jnp.float32)
-    scalars = jnp.stack([
-        jnp.asarray(near, jnp.float32),
-        jnp.asarray(far, jnp.float32),
-        jnp.zeros((), jnp.float32),
-        jnp.asarray(secondary, jnp.float32),
-        jnp.asarray(backfacing_max_dist, jnp.float32),
-        jnp.asarray(backfacing_invalid_normal_threshold, jnp.float32),
-        jnp.asarray(chunk, jnp.float32),
-        jnp.zeros((), jnp.float32),
-    ])
-
-    slot_t, slot_id, logt, trav = pl.pallas_call(
-        partial(_trace_kernel, K=K, exp_power=float(exp_power)),
-        grid=(n_tiles, n_chunks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile, 8), lambda ti, c: (ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_ROWS, chunk), lambda ti, c: (0, c),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((tile, K), lambda ti, c: (ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, K), lambda ti, c: (ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 128), lambda ti, c: (ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 128), lambda ti, c: (ti, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((R, K), jnp.float32),
-            jax.ShapeDtypeStruct((R, K), jnp.float32),
-            jax.ShapeDtypeStruct((R, 128), jnp.float32),
-            jax.ShapeDtypeStruct((R, 128), jnp.float32),
-        ),
-        interpret=interpret,
-    )(scalars, rays, gpack)
-
-    return (
-        slot_t,
-        slot_id.astype(jnp.int32),
-        logt[:, 0],
-        trav[:, 0].astype(jnp.int32),
-    )
-
-
-def _trace_kernel_culled(
-    cand_ref,              # scalar-prefetch [T, MC] int32 cluster ids (-1 pad)
-    cand_near_ref,         # scalar-prefetch [T, MC] f32 conservative near dist
-    scalar_ref,            # SMEM [8] (near, far, log_thr, secondary, bf...)
-    rays_ref,              # VMEM [R, 8]
-    gpack_ref,             # VMEM [N_ROWS, CLUSTER] (candidate cluster block)
-    slot_t_ref, slot_id_ref, logt_ref, trav_ref,
-    *,
-    K: int,
-    exp_power: float,
-    cluster: int,
-):
-    ti = pl.program_id(0)
-    ci = pl.program_id(1)
-    cand = cand_ref[ti, ci]
-    cnear = cand_near_ref[ti, ci]
-    log_thr = scalar_ref[6]   # log(transmittance_threshold)
-
-    @pl.when(ci == 0)
-    def _init():
-        R = rays_ref.shape[0]
-        slot_t_ref[:] = jnp.full((R, K), INF, jnp.float32)
-        slot_id_ref[:] = jnp.zeros((R, K), jnp.float32)
-        logt_ref[:] = jnp.zeros_like(logt_ref)
-        trav_ref[:] = jnp.zeros_like(trav_ref)
-
-    # Early termination (the reference's transmittance early-out,
-    # forward_pass.cu:131-134, lifted to cluster granularity): candidates
-    # arrive near-to-far, so a cluster can be skipped once EVERY ray either
-    # (a) is saturated (accumulated transmittance below the threshold) or
-    # (b) already holds K hits all nearer than this cluster's near bound.
-    # Skipped clusters sit behind the composited hits; their tiny residual is
-    # what the truncated-tail correction absorbs.
-    saturated = logt_ref[:, 0:1] <= log_thr                      # [R, 1]
-    kth = jnp.max(slot_t_ref[:], axis=1, keepdims=True)          # [R, 1]
-    behind = kth < cnear
-    all_done = jnp.all(saturated | behind)
-
-    @pl.when((cand >= 0) & ~all_done)
-    def _compute():
-        _trace_chunk_body(
-            scalar_ref, rays_ref, gpack_ref,
-            slot_t_ref, slot_id_ref, logt_ref, trav_ref,
-            base_gaussian=cand * cluster, K=K, exp_power=exp_power,
-        )
-
-
-@partial(
-    jax.jit,
-    static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret"),
-)
-def pallas_trace_culled(
-    rays_o,               # [R, 3]
-    rays_d,               # [R, 3]
-    gpack,                # [N_ROWS, N], N = num_clusters * cluster
-    candidates,           # [T, MC] int32, T = R // tile
-    cand_near,            # [T, MC] f32 conservative per-candidate near dist
-    near, far,
-    exp_power,
-    secondary,
-    backfacing_max_dist,
-    backfacing_invalid_normal_threshold,
-    transmittance_threshold=0.01,
-    max_hits: int = 32,
-    cluster: int = 256,
-    tile: int = 256,
-    interpret: bool = False,
-):
-    """Culled trace: per ray-tile, stream only its candidate clusters via
-    scalar-prefetch block indexing (the BVH-traversal analog: candidate sets
-    from ops.culling.cull_clusters play the role of BVH node visits)."""
-    R = rays_o.shape[0]
-    N = gpack.shape[1]
-    assert N % cluster == 0 and R % tile == 0
-    K = max_hits
-    n_tiles = R // tile
-    mc = candidates.shape[1]
-    assert candidates.shape[0] == n_tiles
-
-    rays = jnp.concatenate(
-        [rays_o, rays_d, jnp.zeros((R, 2), jnp.float32)], axis=1
-    ).astype(jnp.float32)
-    scalars = jnp.stack([
-        jnp.asarray(near, jnp.float32),
-        jnp.asarray(far, jnp.float32),
-        jnp.zeros((), jnp.float32),
-        jnp.asarray(secondary, jnp.float32),
-        jnp.asarray(backfacing_max_dist, jnp.float32),
-        jnp.asarray(backfacing_invalid_normal_threshold, jnp.float32),
-        jnp.log(jnp.asarray(transmittance_threshold, jnp.float32)),
-        jnp.zeros((), jnp.float32),
-    ])
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles, mc),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile, 8), lambda ti, ci, cand, cnear: (ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (N_ROWS, cluster),
-                lambda ti, ci, cand, cnear: (0, jnp.maximum(cand[ti, ci], 0)),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=(
-            pl.BlockSpec((tile, K), lambda ti, ci, cand, cnear: (ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, K), lambda ti, ci, cand, cnear: (ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 128), lambda ti, ci, cand, cnear: (ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 128), lambda ti, ci, cand, cnear: (ti, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-    )
-    slot_t, slot_id, logt, trav = pl.pallas_call(
-        partial(_trace_kernel_culled, K=K, exp_power=float(exp_power),
-                cluster=cluster),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((R, K), jnp.float32),
-            jax.ShapeDtypeStruct((R, K), jnp.float32),
-            jax.ShapeDtypeStruct((R, 128), jnp.float32),
-            jax.ShapeDtypeStruct((R, 128), jnp.float32),
-        ),
-        interpret=interpret,
-    )(candidates, cand_near, scalars, rays, gpack)
-
-    return (
-        slot_t,
-        slot_id.astype(jnp.int32),
-        logt[:, 0],
-        trav[:, 0].astype(jnp.int32),
-    )

@@ -13,6 +13,13 @@ TPU-native from the start:
   * the Adam update then runs replicated on every device (no broadcast
     needed).
 
+`sharded_train_step` is numerically equivalent to `training.train_step` (same
+jitter keys, same per-tile RNG stream, same Adam algebra via the shared
+`apply_updates`) up to the float summation order of the gradient psum; the
+equivalence is asserted by tests/test_sharding.py and by
+__graft_entry__.dryrun_multichip.  The fast path (Pallas culled tracer) is
+plumbed through the same `use_pallas`/`use_culling` knobs as train_step.
+
 Gaussian-axis sharding for multi-million-Gaussian scenes composes on top via
 the associative over-merge (c1,T1)+(c2,T2) = (c1+T1*c2, T1*T2) - see
 parallel/gaussian_sharded.py.
@@ -27,17 +34,19 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.render_grads import zero_grads
 from ..renderer.raytracer import (
     CameraParams,
     RayTargets,
     RenderSettings,
     render_tile,
-    render_tile_with_grads,
 )
-from ..ops.camera_rays import primary_ray_directions
-from ..scene.gaussian_scene import build_frames
-from ..training import PARAM_FIELDS, TrainState, grads_to_param_tree
+from ..training import (
+    TrainState,
+    apply_updates,
+    grads_over_tiles,
+    prepare_render_inputs,
+    prepare_rays,
+)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
@@ -46,10 +55,13 @@ def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
-def _pad_rays(R: int, n_shards: int) -> int:
-    return ((R + n_shards - 1) // n_shards) * n_shards
-
-
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "height", "num_bounces", "max_hits",
+                     "chunk", "tile", "jitter", "use_pallas",
+                     "exp_power_static", "use_culling", "cull_tile",
+                     "cull_cluster", "max_clusters", "interpret"),
+)
 def sharded_train_step(
     mesh: Mesh,
     state: TrainState,
@@ -64,110 +76,99 @@ def sharded_train_step(
     num_bounces: int = 2,
     max_hits: int = 32,
     chunk: int = 2048,
+    tile: int | None = None,
+    jitter: bool = True,
+    use_pallas: bool = False,
+    exp_power_static: float = 3.0,
+    use_culling: bool = False,
+    cull_tile: int = 256,
+    cull_cluster: int = 256,
+    max_clusters: int = 192,
+    interpret: bool = False,
 ):
     """One DP training step over the mesh. Rays sharded, params replicated,
-    grads psum'd; returns (new TrainState, metrics) replicated."""
+    grads psum'd; returns (new TrainState, metrics) replicated.
+
+    With `tile` equal to train_step's tile (default: one tile per shard) the
+    result matches train_step to within psum summation order."""
     n_shards = mesh.devices.size
     scene = state.scene
     R = width * height
-    Rp = _pad_rays(R, n_shards)
+    assert R % n_shards == 0, (
+        f"H*W={R} must divide by mesh size {n_shards}"
+    )
+    shard_R = R // n_shards
+    tile_sz = min(tile or shard_R, shard_R)
+    assert shard_R % tile_sz == 0, (shard_R, tile_sz)
+    tiles_per_shard = shard_R // tile_sz
 
-    dirs = np.asarray(
-        primary_ray_directions(width, height, camera.fov_y, camera.c2w)
-    ).reshape(-1, 3)
-    ray_live = np.zeros(Rp, np.float32)
-    ray_live[:R] = 1.0
-    if Rp > R:
-        dirs = np.concatenate([dirs, np.zeros((Rp - R, 3), np.float32)])
-        dirs[R:, 2] = 1.0  # degenerate but well-formed rays
-        targets = jax.tree_util.tree_map(
-            lambda a: jnp.concatenate(
-                [a, jnp.zeros((Rp - R,) + a.shape[1:], a.dtype)]
-            ),
-            targets,
+    cull_tile = min(cull_tile, 256)
+    frames, attrs, gpack, culling, scene_for_bwd, gauss_perm = (
+        prepare_render_inputs(
+            scene, settings, use_pallas, use_culling and use_pallas,
+            cull_tile, cull_cluster, max_clusters,
         )
-    dirs = jnp.asarray(dirs)
-    ray_live = jnp.asarray(ray_live)
+    )
+    key_jit, key_b = jax.random.split(key)
+    dirs, ray_perm, _ray_inv = prepare_rays(
+        width, height, camera, key_jit, jitter, cull_tile,
+        culling is not None,
+    )
+    if ray_perm is not None:
+        targets = jax.tree_util.tree_map(lambda a: a[ray_perm], targets)
+
+    bounds = culling["bounds"] if culling is not None else None
+    replicated = (frames, attrs, gpack, bounds, scene_for_bwd)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P("rays"), P("rays"), P("rays"), P()),
+        in_specs=(P(), P("rays"), P("rays"), P()),
         out_specs=(P(), P()),
         check_vma=False,  # scan carries inside trace_rays are unvarying inits
     )
-    def grads_shard(scene_rep, dirs_s, targets_s, live_s, key_rep):
-        frames, attrs = build_frames(
-            scene_rep, settings.alpha_threshold, settings.exp_power,
-            settings.global_scale_factor,
+    def grads_shard(rep, dirs_s, targets_s, key_b):
+        frames, attrs, gpack, bounds, scene_for_bwd = rep
+        # rebuild with the STATIC ints (shard_map args turn ints into tracers)
+        culling = None if bounds is None else dict(
+            bounds=bounds, cull_tile=cull_tile, cluster=cull_cluster,
+            mc=max_clusters,
         )
         idx = jax.lax.axis_index("rays")
-        k = jax.random.fold_in(key_rep, idx)
-        origins = jnp.broadcast_to(camera.origin, (dirs_s.shape[0], 3))
-        steps, final, grads = render_tile_with_grads(
-            origins, dirs_s, frames, attrs, scene_rep, targets_s,
-            settings, camera.znear, camera.zfar, k,
+        dirs_t = dirs_s.reshape(tiles_per_shard, tile_sz, 3)
+        targets_t = jax.tree_util.tree_map(
+            lambda a: a.reshape((tiles_per_shard, tile_sz) + a.shape[1:]),
+            targets_s,
+        )
+        origins = jnp.broadcast_to(camera.origin, (tile_sz, 3))
+        grads, l1 = grads_over_tiles(
+            origins, dirs_t, targets_t, frames, attrs, scene_for_bwd,
+            settings, camera, key_b, idx * tiles_per_shard,
             num_bounces, max_hits, chunk,
+            use_pallas, exp_power_static, gpack, culling, interpret,
         )
-        # dead pad rays: hit nothing is not guaranteed, so mask via live_s
-        l1 = jnp.sum(
-            jnp.abs(steps.rgb[0] - targets_s.diffuse).mean(-1) * live_s
-        )
-        # mask pad-ray gradients: weight=0 because targets are 0? No - mask
-        # explicitly through the upstream dL in future; pad rays are so few
-        # (< n_shards) that we instead zero their contribution by replaying
-        # with live mask applied to grads is complex - assert divisibility.
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.psum(g, "rays"), grads
         )
         l1 = jax.lax.psum(l1, "rays")
         return grads, l1
 
-    assert R % n_shards == 0, (
-        f"H*W={R} must divide by mesh size {n_shards} (pad rays upstream)"
-    )
+    grads, l1 = grads_shard(replicated, dirs, targets, key_b)
+    if gauss_perm is not None:
+        inv = jnp.argsort(gauss_perm)
+        grads = jax.tree_util.tree_map(lambda g: g[inv], grads)
 
-    grads, l1 = grads_shard(scene, dirs, targets, ray_live, key)
-
-    # * replicated scale decay + Adam + clamps (same algebra as train_step)
-    live = scene.live_mask
-    scene = scene._replace(
-        scaling=jnp.where(
-            live[:, None], scene.scaling + jnp.log(hyper["scale_decay"]),
-            scene.scaling,
-        )
-    )
-    g_tree = grads_to_param_tree(grads, scene)
-    b1, b2 = hyper["beta_1"], hyper["beta_2"]
-    eps = 1e-15
-    count = state.count + 1
-    c1 = 1.0 - b1 ** count.astype(jnp.float32)
-    c2 = 1.0 - b2 ** count.astype(jnp.float32)
-    new_params, new_mu, new_nu = {}, {}, {}
-    for f in PARAM_FIELDS:
-        p = getattr(scene, f)
-        g = g_tree[f].reshape(p.shape) * hyper["apply_grads"]
-        m = b1 * getattr(state.mu, f) + (1.0 - b1) * g
-        v = b2 * getattr(state.nu, f) + (1.0 - b2) * g * g
-        update = (m / c1) / (jnp.sqrt(v / c2) + eps)
-        mask = live.reshape((-1,) + (1,) * (p.ndim - 1)).astype(p.dtype)
-        new_params[f] = p - lrs[f] * update * mask
-        new_mu[f], new_nu[f] = m, v
-    new_params["diffuse"] = jnp.maximum(new_params["diffuse"], 0.0)
-    new_params["roughness"] = jnp.clip(new_params["roughness"], 0.0, 1.0)
-    new_params["f0"] = jnp.clip(new_params["f0"], 0.0, 1.0)
-    scene = scene._replace(**new_params)
-
-    new_state = TrainState(
-        scene=scene,
-        mu=state.mu._replace(**new_mu),
-        nu=state.nu._replace(**new_nu),
-        count=count,
-        total_weight=state.total_weight + grads.total_weight,
-    )
+    new_state = apply_updates(state, grads, lrs, hyper)
     return new_state, dict(l1_diffuse=l1 / R)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "height", "num_bounces", "max_hits",
+                     "chunk", "jitter", "use_pallas", "exp_power_static",
+                     "use_culling", "cull_tile", "cull_cluster",
+                     "max_clusters", "interpret"),
+)
 def sharded_render(
     mesh: Mesh,
     scene,
@@ -179,14 +180,35 @@ def sharded_render(
     num_bounces: int = 2,
     max_hits: int = 32,
     chunk: int = 2048,
+    jitter: bool = False,
+    use_pallas: bool = False,
+    exp_power_static: float = 3.0,
+    use_culling: bool = False,
+    cull_tile: int = 256,
+    cull_cluster: int = 256,
+    max_clusters: int = 192,
+    interpret: bool = False,
 ):
-    """Forward render with rays sharded over the mesh; returns final [R,3]."""
+    """Forward render with rays sharded over the mesh; returns final [R,3].
+
+    Runs the SAME fast path as render_frame (Pallas culled tracer) on each
+    shard - the multi-chip rendering mode for the v5p-8 throughput target."""
     n_shards = mesh.devices.size
     R = width * height
     assert R % n_shards == 0
-    dirs = primary_ray_directions(
-        width, height, camera.fov_y, camera.c2w
-    ).reshape(-1, 3)
+
+    cull_tile = min(cull_tile, 256)
+    frames, attrs, gpack, culling, _scene_bwd, _perm = prepare_render_inputs(
+        scene, settings, use_pallas, use_culling and use_pallas,
+        cull_tile, cull_cluster, max_clusters,
+    )
+    key_jit, key_b = jax.random.split(key)
+    dirs, _ray_perm, ray_inv = prepare_rays(
+        width, height, camera, key_jit, jitter, cull_tile,
+        culling is not None,
+    )
+    bounds = culling["bounds"] if culling is not None else None
+    replicated = (frames, attrs, gpack, bounds)
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -194,18 +216,24 @@ def sharded_render(
         out_specs=P("rays"),
         check_vma=False,
     )
-    def fwd(scene_rep, dirs_s, key_rep):
-        frames, attrs = build_frames(
-            scene_rep, settings.alpha_threshold, settings.exp_power,
-            settings.global_scale_factor,
+    def fwd(rep, dirs_s, key_b):
+        frames, attrs, gpack, bounds = rep
+        culling = None if bounds is None else dict(
+            bounds=bounds, cull_tile=cull_tile, cluster=cull_cluster,
+            mc=max_clusters,
         )
         idx = jax.lax.axis_index("rays")
-        k = jax.random.fold_in(key_rep, idx)
+        k = jax.random.fold_in(key_b, idx)
         origins = jnp.broadcast_to(camera.origin, (dirs_s.shape[0], 3))
         _, final, _ = render_tile(
             origins, dirs_s, frames, attrs, settings,
             camera.znear, camera.zfar, k, num_bounces, max_hits, chunk,
+            use_pallas=use_pallas, exp_power_static=exp_power_static,
+            gpack=gpack, culling=culling, interpret=interpret,
         )
         return final
 
-    return fwd(scene, dirs, key)
+    final = fwd(replicated, dirs, key_b)
+    if ray_inv is not None:
+        final = final[ray_inv]
+    return final

@@ -107,37 +107,20 @@ def grads_to_param_tree(grads: ParamGrads, scene: GaussianScene) -> dict:
     }
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "num_bounces", "max_hits", "chunk",
-                     "tile", "jitter", "use_pallas", "exp_power_static",
-                     "use_culling", "cull_tile", "cull_cluster",
-                     "max_clusters"),
-)
-def train_step(
-    state: TrainState,
-    camera: CameraParams,
-    targets: RayTargets,          # flattened [H*W, ...]
+def prepare_render_inputs(
+    scene: GaussianScene,
     settings: RenderSettings,
-    lrs: dict,                    # per-field scalar LRs
-    hyper: dict,                  # beta_1, beta_2, scale_decay, apply_grads
-    key,
-    width: int,
-    height: int,
-    num_bounces: int,
-    max_hits: int,
-    chunk: int,
-    tile: int,
-    jitter: bool = True,
-    use_pallas: bool = False,
-    exp_power_static: float = 3.0,
-    use_culling: bool = False,
-    cull_tile: int = 256,
-    cull_cluster: int = 256,
-    max_clusters: int = 192,
+    use_pallas: bool,
+    use_culling: bool,
+    cull_tile: int,
+    cull_cluster: int,
+    max_clusters: int,
 ):
-    scene = state.scene
-    n = scene.capacity
+    """Per-step scene preprocessing shared by the single-device and sharded
+    train steps: activation frames, optional Morton sort (the BVH-refit
+    analog) + cluster bounds for culling, and the packed Pallas layout.
+
+    Returns (frames, attrs, gpack, culling, scene_for_bwd, gauss_perm)."""
     frames, attrs = build_frames(
         scene, settings.alpha_threshold, settings.exp_power,
         settings.global_scale_factor,
@@ -146,7 +129,6 @@ def train_step(
     culling = None
     gauss_perm = None
     scene_for_bwd = scene
-    cull_tile = min(cull_tile, 256)  # fused-kernel VMEM budget
     if use_pallas and use_culling:
         # Morton-sort the scene for tight clusters; gradients are unsorted
         # back at the end (hit ids refer to the sorted layout).
@@ -161,35 +143,45 @@ def train_step(
     if use_pallas:
         from .ops.pallas.trace_kernel import pack_frames
         gpack = pack_frames(frames, attrs)
+    return frames, attrs, gpack, culling, scene_for_bwd, gauss_perm
 
-    key_jit, key_b = jax.random.split(key)
+
+def prepare_rays(width, height, camera, key_jit, jitter, cull_tile,
+                 use_culling):
+    """Primary ray dirs (+ optional jitter) and the square-pixel-tile
+    permutation used when culling. Returns (dirs [R,3], ray_perm|None,
+    ray_inv|None)."""
     dirs = primary_ray_directions(
         width, height, camera.fov_y, camera.c2w,
         jitter_key=key_jit if jitter else None,
     ).reshape(-1, 3)
-    ray_inv = None
-    if culling is not None:
+    ray_perm = ray_inv = None
+    if use_culling:
         from .ops.culling import tile_pixel_order
         th = tw = int(cull_tile ** 0.5)
         if height % th or width % tw or th * tw != cull_tile:
             th, tw = 16, cull_tile // 16
         if height % th == 0 and width % tw == 0:
-            ray_perm, ray_inv_np = tile_pixel_order(height, width, th, tw)
-            ray_perm = jnp.asarray(ray_perm)
+            ray_perm_np, ray_inv_np = tile_pixel_order(height, width, th, tw)
+            ray_perm = jnp.asarray(ray_perm_np)
             ray_inv = jnp.asarray(ray_inv_np)
             dirs = dirs[ray_perm]
-            targets = jax.tree_util.tree_map(lambda a: a[ray_perm], targets)
-    R = dirs.shape[0]
-    tile_sz = min(tile, R)
-    # padding would duplicate rays and double-count their gradients; the host
-    # picks a tile size dividing H*W (pick_tile_size below)
-    assert R % tile_sz == 0, f"H*W={R} must be divisible by tile={tile_sz}"
-    num_tiles = R // tile_sz
-    dirs_t = dirs.reshape(num_tiles, tile_sz, 3)
-    targets_t = jax.tree_util.tree_map(
-        lambda a: a.reshape((num_tiles, tile_sz) + a.shape[1:]), targets
-    )
-    origins = jnp.broadcast_to(camera.origin, (tile_sz, 3))
+    return dirs, ray_perm, ray_inv
+
+
+def grads_over_tiles(
+    origins, dirs_t, targets_t, frames, attrs, scene_for_bwd,
+    settings, camera, key_b, tile_offset,
+    num_bounces, max_hits, chunk,
+    use_pallas, exp_power_static, gpack, culling, interpret=False,
+):
+    """lax.scan of render_tile_with_grads over [T, tile, ...] ray tiles.
+
+    tile_offset shifts the per-tile RNG stream so a sharded caller (tiles
+    split across devices) reproduces the exact single-device key sequence.
+    Returns (ParamGrads summed over tiles, summed l1_diffuse)."""
+    num_tiles = dirs_t.shape[0]
+    n = scene_for_bwd.capacity
 
     def body(carry, inp):
         grads_acc, loss_acc = carry
@@ -197,9 +189,10 @@ def train_step(
         steps, final, grads = render_tile_with_grads(
             origins, dirs_i, frames,
             attrs, scene_for_bwd, tgt_i, settings, camera.znear, camera.zfar,
-            jax.random.fold_in(key_b, i), num_bounces, max_hits, chunk,
+            jax.random.fold_in(key_b, tile_offset + i),
+            num_bounces, max_hits, chunk,
             use_pallas=use_pallas, exp_power_static=exp_power_static,
-            gpack=gpack, culling=culling,
+            gpack=gpack, culling=culling, interpret=interpret,
         )
         l1 = jnp.sum(jnp.abs(steps.rgb[0] - tgt_i.diffuse).mean(-1))
         grads_acc = grads_acc + grads
@@ -207,15 +200,17 @@ def train_step(
 
     from .ops.render_grads import zero_grads
     init = (zero_grads(n), jnp.zeros((), jnp.float32))
-    (grads, l1_diffuse), _ = jax.lax.scan(
-        body, init,
-        (jnp.arange(num_tiles), dirs_t, targets_t),
+    (grads, l1), _ = jax.lax.scan(
+        body, init, (jnp.arange(num_tiles), dirs_t, targets_t),
     )
-    if gauss_perm is not None:
-        # grads are in Morton-sorted space; scatter back to original slots
-        inv = jnp.argsort(gauss_perm)
-        grads = jax.tree_util.tree_map(lambda g: g[inv], grads)
+    return grads, l1
 
+
+def apply_updates(state: TrainState, grads: ParamGrads, lrs: dict,
+                  hyper: dict) -> TrainState:
+    """Scale decay + per-group Adam + clamps (train.py:224-254 semantics),
+    shared verbatim by train_step and sharded_train_step."""
+    scene = state.scene
     # * scale decay right after render (train.py:224-226)
     live = scene.live_mask
     decayed_scaling = jnp.where(
@@ -253,13 +248,83 @@ def train_step(
     new_params["f0"] = jnp.clip(new_params["f0"], 0.0, 1.0)
 
     scene = scene._replace(**new_params)
-    new_state = TrainState(
+    return TrainState(
         scene=scene,
         mu=state.mu._replace(**new_mu),
         nu=state.nu._replace(**new_nu),
         count=count,
         total_weight=state.total_weight + grads.total_weight,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "num_bounces", "max_hits", "chunk",
+                     "tile", "jitter", "use_pallas", "exp_power_static",
+                     "use_culling", "cull_tile", "cull_cluster",
+                     "max_clusters", "interpret"),
+)
+def train_step(
+    state: TrainState,
+    camera: CameraParams,
+    targets: RayTargets,          # flattened [H*W, ...]
+    settings: RenderSettings,
+    lrs: dict,                    # per-field scalar LRs
+    hyper: dict,                  # beta_1, beta_2, scale_decay, apply_grads
+    key,
+    width: int,
+    height: int,
+    num_bounces: int,
+    max_hits: int,
+    chunk: int,
+    tile: int,
+    jitter: bool = True,
+    use_pallas: bool = False,
+    exp_power_static: float = 3.0,
+    use_culling: bool = False,
+    cull_tile: int = 256,
+    cull_cluster: int = 256,
+    max_clusters: int = 192,
+    interpret: bool = False,
+):
+    scene = state.scene
+    cull_tile = min(cull_tile, 256)  # fused-kernel VMEM budget
+    frames, attrs, gpack, culling, scene_for_bwd, gauss_perm = (
+        prepare_render_inputs(
+            scene, settings, use_pallas, use_culling and use_pallas,
+            cull_tile, cull_cluster, max_clusters,
+        )
+    )
+    key_jit, key_b = jax.random.split(key)
+    dirs, ray_perm, _ray_inv = prepare_rays(
+        width, height, camera, key_jit, jitter, cull_tile,
+        culling is not None,
+    )
+    if ray_perm is not None:
+        targets = jax.tree_util.tree_map(lambda a: a[ray_perm], targets)
+    R = dirs.shape[0]
+    tile_sz = min(tile, R)
+    # padding would duplicate rays and double-count their gradients; the host
+    # picks a tile size dividing H*W (pick_tile_size below)
+    assert R % tile_sz == 0, f"H*W={R} must be divisible by tile={tile_sz}"
+    num_tiles = R // tile_sz
+    dirs_t = dirs.reshape(num_tiles, tile_sz, 3)
+    targets_t = jax.tree_util.tree_map(
+        lambda a: a.reshape((num_tiles, tile_sz) + a.shape[1:]), targets
+    )
+    origins = jnp.broadcast_to(camera.origin, (tile_sz, 3))
+
+    grads, l1_diffuse = grads_over_tiles(
+        origins, dirs_t, targets_t, frames, attrs, scene_for_bwd,
+        settings, camera, key_b, 0, num_bounces, max_hits, chunk,
+        use_pallas, exp_power_static, gpack, culling, interpret,
+    )
+    if gauss_perm is not None:
+        # grads are in Morton-sorted space; scatter back to original slots
+        inv = jnp.argsort(gauss_perm)
+        grads = jax.tree_util.tree_map(lambda g: g[inv], grads)
+
+    new_state = apply_updates(state, grads, lrs, hyper)
     metrics = dict(l1_diffuse=l1_diffuse / R)
     return new_state, metrics
 

@@ -65,22 +65,15 @@ def test_gaussian_sharded_trace_matches_single_device():
                                rtol=1e-4)
 
 
-@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
-def test_sharded_train_step_runs_and_matches_shapes():
-    from editable_gaussian_reflections_tpu.parallel.sharding import (
-        make_mesh,
-        sharded_train_step,
-    )
+def _train_fixture(n=32, pad_multiple=64, W=16, H=16):
     from editable_gaussian_reflections_tpu.renderer.raytracer import (
         CameraParams,
         RayTargets,
-        RenderSettings,
     )
     from editable_gaussian_reflections_tpu.training import init_train_state
 
-    scene = make_scene(n=32, pad_multiple=64)
+    scene = make_scene(n=n, pad_multiple=pad_multiple)
     state = init_train_state(scene)
-    W = H = 16
     R = W * H
     camera = CameraParams(
         origin=jnp.zeros(3),
@@ -96,15 +89,137 @@ def test_sharded_train_step_runs_and_matches_shapes():
     lrs = dict(xyz=1e-4, scaling=5e-3, rotation=1e-3, opacity=2.5e-2,
                diffuse=5e-3, normal=2.5e-3, f0=2.5e-3, roughness=2.5e-3)
     hyper = dict(beta_1=0.9, beta_2=0.999, scale_decay=0.9999, apply_grads=1.0)
-    mesh = make_mesh()
-    new_state, metrics = sharded_train_step(
-        mesh, state, camera, targets, RenderSettings(), lrs, hyper,
-        jax.random.PRNGKey(0), W, H, num_bounces=1, max_hits=8, chunk=64,
+    return state, camera, targets, lrs, hyper
+
+
+def _assert_states_close(a, b, rtol=1e-4, atol=1e-6):
+    # grad psum reorders float sums across shards; Adam's m/sqrt(v) then
+    # amplifies the ulp-level noise, hence rtol 1e-4 on params (the grads
+    # and loss themselves match at 1e-5)
+    for f in ("xyz", "scaling", "rotation", "opacity", "diffuse", "normal",
+              "f0", "roughness"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a.scene, f)), np.asarray(getattr(b.scene, f)),
+            rtol=rtol, atol=atol, err_msg=f"param {f}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(getattr(a.mu, f)), np.asarray(getattr(b.mu, f)),
+            rtol=rtol, atol=atol, err_msg=f"mu {f}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(a.total_weight), np.asarray(b.total_weight),
+        rtol=rtol, atol=atol,
     )
-    assert np.isfinite(float(metrics["l1_diffuse"]))
-    for f in ("xyz", "diffuse", "opacity"):
-        arr = np.asarray(getattr(new_state.scene, f))
-        assert np.isfinite(arr).all()
-    # params actually moved
-    assert float(np.abs(np.asarray(new_state.scene.diffuse)
-                        - np.asarray(scene.diffuse)).max()) > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
+def test_sharded_train_step_equals_train_step():
+    """DP over the mesh must reproduce the single-device step numerically
+    (params, optimizer moments, loss) - VERDICT r1 item 2."""
+    from editable_gaussian_reflections_tpu.parallel.sharding import (
+        make_mesh,
+        sharded_train_step,
+    )
+    from editable_gaussian_reflections_tpu.renderer.raytracer import (
+        RenderSettings,
+    )
+    from editable_gaussian_reflections_tpu.training import train_step
+
+    W = H = 16
+    state, camera, targets, lrs, hyper = _train_fixture(W=W, H=H)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    tile = (W * H) // n_dev
+    key = jax.random.PRNGKey(0)
+    common = dict(num_bounces=1, max_hits=8, chunk=64)
+
+    st_sh, m_sh = sharded_train_step(
+        mesh, state, camera, targets, RenderSettings(), lrs, hyper, key,
+        W, H, tile=tile, **common,
+    )
+    st_1, m_1 = train_step(
+        state, camera, targets, RenderSettings(), lrs, hyper, key,
+        W, H, tile=tile, **common,
+    )
+    np.testing.assert_allclose(
+        float(m_sh["l1_diffuse"]), float(m_1["l1_diffuse"]), rtol=1e-5,
+    )
+    _assert_states_close(st_sh, st_1)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
+def test_sharded_train_step_pallas_culled_equals_train_step():
+    """The production fast path (Pallas culled tracer, interpret mode on CPU)
+    through the sharded step matches the single-device step."""
+    from editable_gaussian_reflections_tpu.parallel.sharding import (
+        make_mesh,
+        sharded_train_step,
+    )
+    from editable_gaussian_reflections_tpu.renderer.raytracer import (
+        RenderSettings,
+    )
+    from editable_gaussian_reflections_tpu.training import train_step
+
+    W, H = 64, 32
+    state, camera, targets, lrs, hyper = _train_fixture(
+        n=48, pad_multiple=256, W=W, H=H,
+    )
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    tile = (W * H) // n_dev  # 256 rays per shard = one cull tile
+    key = jax.random.PRNGKey(1)
+    common = dict(
+        num_bounces=1, max_hits=8, chunk=64,
+        use_pallas=True, use_culling=True, cull_tile=256, cull_cluster=64,
+        max_clusters=4, interpret=True,
+    )
+
+    st_sh, m_sh = sharded_train_step(
+        mesh, state, camera, targets, RenderSettings(), lrs, hyper, key,
+        W, H, tile=tile, **common,
+    )
+    st_1, m_1 = train_step(
+        state, camera, targets, RenderSettings(), lrs, hyper, key,
+        W, H, tile=tile, **common,
+    )
+    np.testing.assert_allclose(
+        float(m_sh["l1_diffuse"]), float(m_1["l1_diffuse"]), rtol=1e-5,
+    )
+    _assert_states_close(st_sh, st_1)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
+def test_sharded_render_equals_render_frame():
+    from editable_gaussian_reflections_tpu.parallel.sharding import (
+        make_mesh,
+        sharded_render,
+    )
+    from editable_gaussian_reflections_tpu.renderer.raytracer import (
+        CameraParams,
+        RenderSettings,
+        render_frame,
+    )
+
+    scene = make_scene(n=32, pad_multiple=64)
+    W = H = 16
+    camera = CameraParams(
+        origin=jnp.zeros(3),
+        c2w=jnp.asarray(np.diag([1.0, 1.0, -1.0]).astype(np.float32)),
+        fov_y=jnp.asarray(0.8), znear=jnp.asarray(0.1),
+        zfar=jnp.asarray(60.0),
+    )
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    key = jax.random.PRNGKey(2)
+    final_sh = sharded_render(
+        mesh, scene, camera, RenderSettings(), key, W, H,
+        num_bounces=1, max_hits=8, chunk=64,
+    )
+    _, final_1 = render_frame(
+        scene, camera, RenderSettings(), key, W, H,
+        num_bounces=1, max_hits=8, chunk=64, tile=(W * H) // n_dev,
+        jitter=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(final_sh), np.asarray(final_1), rtol=1e-5, atol=1e-6,
+    )
