@@ -24,6 +24,7 @@ def main():
         CameraParams,
         RenderSettings,
         render_frame,
+        render_frame_fused,
     )
     from editable_gaussian_reflections_tpu.scene.gaussian_scene import from_arrays
     from editable_gaussian_reflections_tpu.utils.synth import room_camera, room_scene
@@ -43,24 +44,28 @@ def main():
     key = jax.random.PRNGKey(0)
 
     use_pallas = jax.default_backend() != "cpu"
-    kwargs = dict(
-        num_bounces=2, max_hits=32, chunk=1024, tile=8192,
-        use_pallas=use_pallas, use_culling=use_pallas,
-        cull_tile=256, cull_cluster=256, max_clusters=192,
-    )
+    if use_pallas:
+        # round-2 fused path: one Pallas kernel per bounce (trace + top-K +
+        # composite), whole-frame grids
+        fn = lambda k: render_frame_fused(
+            scene, camera, settings, k, width, height,
+            num_bounces=2, max_hits=32, cull_cluster=128, max_clusters=128,
+        )
+    else:
+        fn = lambda k: render_frame(
+            scene, camera, settings, k, width, height,
+            num_bounces=2, max_hits=32, chunk=1024, tile=8192,
+        )
 
     # warmup/compile: on the axon backend the real compile happens lazily at
     # the first transfer, so force with an actual device_get
-    steps, final = render_frame(scene, camera, settings, key, width, height, **kwargs)
+    steps, final = fn(key)
     np.asarray(final)
 
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
-        steps, final = render_frame(
-            scene, camera, settings, jax.random.fold_in(key, i),
-            width, height, **kwargs,
-        )
+        steps, final = fn(jax.random.fold_in(key, i))
     np.asarray(final)  # drain the dispatch queue
     dt = (time.perf_counter() - t0) / iters
 

@@ -454,6 +454,260 @@ def render_frame(
 
 @partial(
     jax.jit,
+    static_argnames=("width", "height", "num_bounces", "max_hits", "jitter",
+                     "exp_power_static", "cull_cluster", "max_clusters",
+                     "rays_per_call", "interpret"),
+)
+def render_frame_fused(
+    scene: GaussianScene,
+    camera: CameraParams,
+    settings: RenderSettings,
+    key,
+    width: int,
+    height: int,
+    num_bounces: int = 2,
+    max_hits: int = 32,
+    jitter: bool = True,
+    exp_power_static: float = 3.0,
+    cull_cluster: int = 256,
+    max_clusters: int = 64,
+    rays_per_call: int = 65536,
+    interpret: bool = False,
+):
+    """Whole-frame render where each bounce is ONE fused Pallas kernel.
+
+    The kernel (ops/pallas/render_kernel.py) does trace + top-K + composite
+    + truncated-tail correction; only the per-ray bounce epilogue (normal
+    normalization, GGX sampling, throughput - shaders.cu:116-146) remains in
+    XLA.  The frame is chunked into `rays_per_call` slabs purely to respect
+    the SMEM scalar-prefetch budget for the candidate lists.
+
+    Requires 16 | height, 16 | width (square pixel tiles for the bounding
+    cones) and the scene capacity padded to cull_cluster; render_frame is the
+    general fallback.
+    """
+    from ..ops.culling import (
+        cluster_bounds,
+        morton_order,
+        select_candidates,
+        tile_pixel_order,
+    )
+    from ..ops.pallas.render_kernel import (
+        pack_attr_table,
+        pallas_render_culled,
+        unpack_composite,
+    )
+    from ..ops.pallas.trace_kernel import pack_frames
+
+    frames, attrs = build_frames(
+        scene, settings.alpha_threshold, settings.exp_power,
+        settings.global_scale_factor,
+    )
+    perm = morton_order(frames)
+    frames = jax.tree_util.tree_map(lambda a: a[perm], frames)
+    attrs = jax.tree_util.tree_map(lambda a: a[perm], attrs)
+    bounds = cluster_bounds(frames, cull_cluster)
+    gpack = pack_frames(frames)            # geometry only; attrs via table
+    table = pack_attr_table(attrs)
+
+    ray_perm, ray_inv = tile_pixel_order(height, width, 16, 16)
+    ray_perm = jnp.asarray(ray_perm)
+    ray_inv = jnp.asarray(ray_inv)
+    key_jit, key_b = jax.random.split(key)
+    dirs = primary_ray_directions(
+        width, height, camera.fov_y, camera.c2w,
+        jitter_key=key_jit if jitter else None,
+    ).reshape(-1, 3)[ray_perm]
+    R = dirs.shape[0]
+    rays_per_call = min(rays_per_call, R)
+    assert R % 256 == 0
+    n_call = (R + rays_per_call - 1) // rays_per_call
+    pad = n_call * rays_per_call - R
+    if pad:
+        dirs = jnp.concatenate([dirs, dirs[:pad]], axis=0)
+    Rp = n_call * rays_per_call
+
+    rays_o = jnp.broadcast_to(camera.origin, (Rp, 3))
+    rays_d = dirs
+    alive = jnp.ones((Rp,), bool)
+    throughput = jnp.ones((Rp, 3), jnp.float32)
+    outs = []
+    num_steps = num_bounces + 1
+    # same RNG stream as render_frame with a single ray tile (fold tile 0,
+    # split per step) so the two paths are comparable bit-for-bit in tests
+    key_t = jax.random.fold_in(key_b, 0)
+
+    # scene bbox for secondary-ray coherence sorting
+    live = frames.valid
+    scene_lo = jnp.min(jnp.where(live[:, None], frames.mean, jnp.inf), axis=0)
+    scene_hi = jnp.max(jnp.where(live[:, None], frames.mean, -jnp.inf),
+                       axis=0)
+
+    for step in range(num_steps):
+        near = camera.znear if step == 0 else jnp.zeros_like(camera.znear)
+        if step > 0:
+            # Reflected rays are incoherent within pixel tiles (wide bounding
+            # cones -> ~3x more candidate clusters).  Re-tile them by
+            # (liveness, origin Morton cell, direction bin) so cones stay
+            # tight and fully-dead tiles skip instantly - the wavefront
+            # substitute for the per-ray BVH traversal the reference gets.
+            from ..ops.culling import morton_codes
+            pos_bits = morton_codes(rays_o, scene_lo, scene_hi, bits=5)
+            qd = jnp.clip(((rays_d * 0.5 + 0.5) * 4.0), 0, 3).astype(
+                jnp.uint32)
+            dir_bits = (qd[:, 0] << 4) | (qd[:, 1] << 2) | qd[:, 2]
+            keys = (
+                jnp.where(alive, jnp.uint32(0), jnp.uint32(1 << 26))
+                | (pos_bits << 6) | dir_bits
+            )
+            order = jnp.argsort(keys)
+            inv_order = jnp.zeros_like(order).at[order].set(
+                jnp.arange(Rp, dtype=order.dtype))
+            rays_o_k = rays_o[order]
+            rays_d_k = rays_d[order]
+            alive_k = alive[order]
+        else:
+            order = inv_order = None
+            rays_o_k, rays_d_k, alive_k = rays_o, rays_d, alive
+        cands, cnear, _num, _ovf = select_candidates(
+            rays_o_k, rays_d_k, bounds, near, camera.zfar,
+            tile=256, max_clusters=max_clusters,
+        )
+        mc = cands.shape[1]
+        tpc = rays_per_call // 256          # tiles per kernel call
+
+        def one_call(args):
+            ro, rd, al, cd, cn = args
+            out = pallas_render_culled(
+                ro, rd, gpack, table, cd, cn, near, camera.zfar,
+                exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
+                settings.backfacing_max_dist,
+                settings.backfacing_invalid_normal_threshold,
+                transmittance_threshold=settings.transmittance_threshold,
+                eps_forward_normalization=settings.eps_forward_normalization,
+                max_hits=max_hits, cluster=cull_cluster, tile=256,
+                interpret=interpret, alive=al,
+            )
+            return out
+
+        out = jax.lax.map(one_call, (
+            rays_o_k.reshape(n_call, rays_per_call, 3),
+            rays_d_k.reshape(n_call, rays_per_call, 3),
+            alive_k.reshape(n_call, rays_per_call),
+            cands.reshape(n_call, tpc, mc),
+            cnear.reshape(n_call, tpc, mc),
+        ))
+        out = out.reshape(Rp, -1)
+        if inv_order is not None:
+            out = out[inv_order]
+        comp = unpack_composite(out)
+
+        rgb_step = (comp["rgb"] if step == 0
+                    else comp["rgb"] * throughput)
+        nlen = jnp.linalg.norm(comp["normal"], axis=-1)
+        eff_normal = comp["normal"] / jnp.maximum(nlen, 1e-20)[:, None]
+        eff_roughness = jnp.maximum(comp["roughness"],
+                                    settings.eps_min_roughness)
+        next_alive = alive & (
+            nlen >= settings.reflection_invalid_normal_threshold
+        )
+        key_t, kstep = jax.random.split(key_t)
+        # draw in linear pixel order, then permute into tile order, so each
+        # PIXEL consumes the same randomness as in render_frame
+        u = jax.random.uniform(kstep, (R, 2), jnp.float32)[ray_perm]
+        if pad:
+            u = jnp.concatenate([u, u[:pad]], axis=0)
+        eff_position = rays_o + comp["depth"][:, None] * rays_d
+        next_dir = ggx.sample_cook_torrance(
+            eff_normal, -rays_d, eff_roughness, u
+        )
+        next_origin = eff_position + settings.eps_ray_surface_offset * next_dir
+        w = ggx.cook_torrance_weight(
+            eff_normal, -rays_d, next_dir, eff_roughness, comp["f0"]
+        )
+        next_throughput = jnp.where(
+            next_alive[:, None], throughput * jnp.nan_to_num(w), 0.0
+        )
+        outs.append(
+            dict(
+                rgb=rgb_step, normal=comp["normal"], f0=comp["f0"],
+                roughness=comp["roughness"], depth=comp["depth"],
+                transmittance=comp["T_final"],
+                total_transmittance=comp["full_T"],
+                throughput=next_throughput,
+                alive=alive.astype(jnp.float32),
+            )
+        )
+        rays_o, rays_d = next_origin, next_dir
+        throughput = next_throughput
+        alive = next_alive
+
+    stacked = StepOutputs(
+        **{k: jnp.stack([o[k] for o in outs], axis=0) for k in outs[0]}
+    )
+    final = jnp.sum(stacked.rgb, axis=0)
+    unpad = jax.tree_util.tree_map(lambda a: a[:, :R][:, ray_inv], stacked)
+    return unpad, final[:R][ray_inv]
+
+
+def fused_path_ok(scene: GaussianScene, width: int, height: int,
+                  cull_cluster: int) -> bool:
+    """Static shape conditions for render_frame_fused (16x16 pixel tiles,
+    cluster-padded capacity, >=128-lane gpack blocks)."""
+    return (
+        height % 16 == 0 and width % 16 == 0
+        and scene.capacity % cull_cluster == 0
+        and cull_cluster >= 128
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "num_bounces", "max_hits", "jitter",
+                     "spp", "exp_power_static", "cull_cluster",
+                     "max_clusters", "rays_per_call", "interpret"),
+)
+def render_accumulated_fused(
+    scene: GaussianScene,
+    camera: CameraParams,
+    settings: RenderSettings,
+    key,
+    width: int,
+    height: int,
+    spp: int = 8,
+    num_bounces: int = 2,
+    max_hits: int = 32,
+    jitter: bool = True,
+    exp_power_static: float = 3.0,
+    cull_cluster: int = 256,
+    max_clusters: int = 64,
+    rays_per_call: int = 65536,
+    interpret: bool = False,
+):
+    """SPP accumulation over the fused whole-frame path (one HLO instance)."""
+    def one(k):
+        return render_frame_fused.__wrapped__(
+            scene, camera, settings, k, width, height, num_bounces, max_hits,
+            jitter, exp_power_static, cull_cluster, max_clusters,
+            rays_per_call, interpret,
+        )
+
+    def body(i, acc):
+        return jax.tree_util.tree_map(
+            lambda a, b: a + b, acc, one(jax.random.fold_in(key, i))
+        )
+
+    first = one(jax.random.fold_in(key, 0))
+    if spp > 1:
+        steps, final = jax.lax.fori_loop(1, spp, body, first)
+    else:
+        steps, final = first
+    inv = 1.0 / spp
+    return jax.tree_util.tree_map(lambda a: a * inv, steps), final * inv
+
+
+@partial(
+    jax.jit,
     static_argnames=("width", "height", "num_bounces", "max_hits", "chunk",
                      "tile", "jitter", "spp", "use_pallas",
                      "exp_power_static", "use_culling", "cull_tile",

@@ -15,7 +15,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..scene.gaussian_scene import GaussianScene
-from .raytracer import CameraParams, RenderSettings, render_frame
+from .raytracer import (
+    CameraParams,
+    RenderSettings,
+    fused_path_ok,
+    render_frame,
+    render_frame_fused,
+)
 
 
 def camera_params(camera, znear=0.01, zfar=999.9) -> CameraParams:
@@ -43,6 +49,33 @@ def default_backend_kwargs(cfg=None):
     return kw
 
 
+def dispatch_render_frame(scene, cam, settings, key, W, H, *, num_bounces=2,
+                          max_hits=32, chunk=2048, tile=8192, jitter=True,
+                          **backend_kwargs):
+    """Route to the fully-fused whole-frame path when eligible.
+
+    The fused path (one Pallas kernel per bounce, round-2 perf work) needs
+    16x16 pixel tiling and a cluster-padded scene; anything else falls back
+    to render_frame (which itself falls back from culled to brute)."""
+    kw = dict(backend_kwargs)
+    use_fused = kw.pop("use_fused", kw.get("use_pallas", False)
+                       and kw.get("use_culling", False))
+    cull_cluster = kw.get("cull_cluster", 256)
+    if use_fused and fused_path_ok(scene, W, H, cull_cluster):
+        return render_frame_fused(
+            scene, cam, settings, key, W, H,
+            num_bounces=num_bounces, max_hits=max_hits, jitter=jitter,
+            cull_cluster=cull_cluster,
+            max_clusters=kw.get("max_clusters", 64),
+            interpret=kw.get("interpret", False),
+        )
+    return render_frame(
+        scene, cam, settings, key, W, H,
+        num_bounces=num_bounces, max_hits=max_hits, chunk=chunk, tile=tile,
+        jitter=jitter, **kw,
+    )
+
+
 def render(
     camera,
     scene: GaussianScene,
@@ -63,7 +96,7 @@ def render(
         key = jax.random.PRNGKey(0)
     H, W = camera.image_height, camera.image_width
     cam = camera_params(camera, znear, zfar)
-    steps, final = render_frame(
+    steps, final = dispatch_render_frame(
         scene, cam, settings, key, W, H,
         num_bounces=num_bounces, max_hits=max_hits, chunk=chunk, tile=tile,
         jitter=jitter, **backend_kwargs,

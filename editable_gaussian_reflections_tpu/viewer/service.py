@@ -92,10 +92,14 @@ class RenderService:
         finally:
             self.num_connections -= 1
 
-    def serve(self, host: str = "0.0.0.0", port: int = 8765):
+    def serve(self, host: str = "0.0.0.0", port: int = 8765,
+              http_port: Optional[int] = None):
         import asyncio
 
         import websockets
+
+        if http_port:
+            self._serve_client_page(host, http_port, port)
 
         async def main():
             async with websockets.serve(self._handle, host, port,
@@ -104,6 +108,34 @@ class RenderService:
                 await asyncio.Future()
 
         asyncio.run(main())
+
+    @staticmethod
+    def _serve_client_page(host: str, http_port: int, ws_port: int):
+        """Serve viewer/client.html over plain HTTP in a daemon thread so a
+        browser can attach (the GUI client of gaussian_viewer.py, web-style
+        since TPU hosts have no display stack)."""
+        import http.server
+        import os
+        import threading
+
+        page_path = os.path.join(os.path.dirname(__file__), "client.html")
+        with open(page_path, "rb") as f:
+            page = f.read()
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 - stdlib API
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.end_headers()
+                self.wfile.write(page)
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.ThreadingHTTPServer((host, http_port), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        print(f"viewer page at http://{host}:{http_port}/ "
+              f"(websocket on :{ws_port})")
 
 
 def main(argv: Optional[list] = None):
@@ -114,10 +146,13 @@ def main(argv: Optional[list] = None):
     p.add_argument("--iteration", type=int, default=None)
     p.add_argument("--resolution", "-r", type=int, default=None)
     p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--http_port", type=int, default=8080,
+                   help="serve the web client page here (0 disables)")
     args = p.parse_args(argv)
     state = ViewerState.from_ply(args.model_path, args.iteration,
                                  args.resolution)
-    RenderService(state).serve(port=args.port)
+    RenderService(state).serve(port=args.port,
+                               http_port=args.http_port or None)
 
 
 if __name__ == "__main__":

@@ -136,11 +136,14 @@ class ViewerState:
         else:
             settings = self.settings
 
-        from ..renderer.render import default_backend_kwargs
+        from ..renderer.render import (
+            default_backend_kwargs,
+            dispatch_render_frame,
+        )
 
         cam = camera_params(camera, znear=self.znear, zfar=self.zfar)
         key = jax.random.PRNGKey(self._accum_count)
-        steps, final = render_frame(
+        steps, final = dispatch_render_frame(
             scene, cam, settings, key, self.width, self.height,
             num_bounces=self.num_bounces, max_hits=self.cfg.max_hits,
             chunk=self.cfg.trace_chunk, tile=self.cfg.ray_tile,
