@@ -67,7 +67,6 @@ OUT_CHUNKS = 15   # clusters actually computed (not skipped) for this tile
 OUT_LANES = 16
 
 NUM_ATTR = 10     # rgb3 + nrm3 + f03 + rough carried per slot
-DRAIN_UNROLL = 4  # hit extractions per while_loop iteration
 
 
 def pack_attr_table(attrs) -> jnp.ndarray:
@@ -142,22 +141,26 @@ def _pair_math(scalar_ref, rays_ref, gpack_ref, *, exp_power: float):
     return t, alpha, valid, gvalid
 
 
-def _drain_composite(valid, t, alpha, table, slot_t, slot_alpha, slot_attr):
+def _drain_composite(valid, t, alpha, table, slot_t_ref, slot_alpha_ref,
+                     attr_ref, K):
     """Replace-max top-K drain with MXU attribute extraction.
 
-    slot_attr is a tuple of NUM_ATTR [R, K] blocks.  Per iteration: extract
-    the per-ray nearest remaining hit (one lane one-hot), fetch its
-    attribute row as one [R, C] x [C, A] matmul, and overwrite the ray's
-    current worst slot.  Pre-gated by the entry kth so saturated rays cost
-    nothing; per-ray `ins` keeps gating as kth shrinks.  (An int32-packed
-    (t, lane) key variant was measured 1.35x SLOWER on v5e - integer
-    min/max does not hit the fast VPU path - so keys stay float.)"""
+    Per iteration: extract the per-ray nearest remaining hit (one lane
+    one-hot), fetch its attribute row as one [R, C] x [C, A] matmul, and
+    overwrite the ray's current worst slot.  Pre-gated by the entry kth so
+    saturated rays cost nothing; per-ray `ins` keeps gating as kth shrinks.
+
+    Slot state is mutated through REFS; only (tmin, kth, tmask) ride the
+    while carry - carried [R, K] block tuples make Mosaic copy/spill them
+    every iteration (measured 91x slowdown on the 37-block slots drain).
+    (An int32-packed (t, lane) key variant was measured 1.35x SLOWER on
+    v5e - integer min/max does not hit the fast VPU path - keys stay
+    float.)"""
     R, C = t.shape
-    K = slot_t.shape[1]
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1).astype(jnp.float32)
     slot_idx = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1).astype(jnp.float32)
 
-    kth0 = jnp.max(slot_t, axis=1, keepdims=True)
+    kth0 = jnp.max(slot_t_ref[:], axis=1, keepdims=True)
     tmask = jnp.where(valid & (t < kth0), t, INF)
     tmin0 = jnp.min(tmask, axis=1, keepdims=True)
 
@@ -165,9 +168,8 @@ def _drain_composite(valid, t, alpha, table, slot_t, slot_alpha, slot_attr):
         tmin, kth = st[0], st[1]
         return jnp.any(tmin < kth)
 
-    def extract_one(st):
-        tmin, kth, tmask, slot_t, slot_alpha = st[:5]
-        slot_attr = st[5:]
+    def body(st):
+        tmin, kth, tmask = st
         ins = tmin < kth                                        # [R, 1]
         is_min = (tmask <= tmin) & ins                          # [R, C]
         id_sel = jnp.min(jnp.where(is_min, lane_ids, INF), axis=1,
@@ -181,36 +183,25 @@ def _drain_composite(valid, t, alpha, table, slot_t, slot_alpha, slot_attr):
             preferred_element_type=jnp.float32,
         )                                                        # [R, TABLE_A]
 
+        slot_t = slot_t_ref[:]
         s_is_max = slot_t >= kth
         s_win = jnp.min(jnp.where(s_is_max, slot_idx, jnp.float32(1e9)),
                         axis=1, keepdims=True)
         slot_oh = s_is_max & (slot_idx <= s_win) & ins
-        slot_t = jnp.where(slot_oh, jnp.broadcast_to(tmin, slot_t.shape),
-                           slot_t)
-        slot_alpha = jnp.where(slot_oh, jnp.broadcast_to(a_val, (R, K)),
-                               slot_alpha)
-        new_attr = tuple(
-            jnp.where(slot_oh, jnp.broadcast_to(v[:, a:a + 1], (R, K)),
-                      slot_attr[a])
-            for a in range(NUM_ATTR)
-        )
+        new_t = jnp.where(slot_oh, jnp.broadcast_to(tmin, (R, K)), slot_t)
+        slot_t_ref[:] = new_t
+        slot_alpha_ref[:] = jnp.where(
+            slot_oh, jnp.broadcast_to(a_val, (R, K)), slot_alpha_ref[:])
+        for a in range(NUM_ATTR):
+            attr_ref[:, a * K:(a + 1) * K] = jnp.where(
+                slot_oh, jnp.broadcast_to(v[:, a:a + 1], (R, K)),
+                attr_ref[:, a * K:(a + 1) * K])
         tmask = jnp.where(lane_oh, INF, tmask)
         tmin = jnp.min(tmask, axis=1, keepdims=True)
-        kth = jnp.max(slot_t, axis=1, keepdims=True)
-        return (tmin, kth, tmask, slot_t, slot_alpha, *new_attr)
+        kth = jnp.max(new_t, axis=1, keepdims=True)
+        return (tmin, kth, tmask)
 
-    def body(st):
-        # The while_loop has ~1 us fixed overhead per iteration on v5e -
-        # 5-6x the actual body compute - so each iteration extracts
-        # DRAIN_UNROLL hits (extra extractions no-op via the `ins` mask)
-        for _ in range(DRAIN_UNROLL):
-            st = extract_one(st)
-        return st
-
-    out = jax.lax.while_loop(
-        cond, body, (tmin0, kth0, tmask, slot_t, slot_alpha, *slot_attr)
-    )
-    return out[3], out[4], out[5:]
+    jax.lax.while_loop(cond, body, (tmin0, kth0, tmask))
 
 
 def _composite_epilogue(scalar_ref, slot_t, slot_alpha, slot_attr, acc_ref,
@@ -299,16 +290,10 @@ def _render_kernel(
         )
         acc_ref[:, 1:2] += jnp.broadcast_to(jnp.sum(gvalid), (R, 1))
         acc_ref[:, 2:3] += 1.0  # computed (non-skipped) chunk counter
-        slot_attr = tuple(attr_ref[:, a * K:(a + 1) * K]
-                          for a in range(NUM_ATTR))
-        slot_t, slot_alpha, slot_attr = _drain_composite(
-            valid, t, alpha, table_ref[:], slot_t_ref[:], slot_alpha_ref[:],
-            slot_attr,
+        _drain_composite(
+            valid, t, alpha, table_ref[:], slot_t_ref, slot_alpha_ref,
+            attr_ref, K,
         )
-        slot_t_ref[:] = slot_t
-        slot_alpha_ref[:] = slot_alpha
-        for a in range(NUM_ATTR):
-            attr_ref[:, a * K:(a + 1) * K] = slot_attr[a]
 
     @pl.when((cand_ref[ti, 2 * ci] >= 0) & ~all_done)
     def _compute0():
@@ -427,3 +412,366 @@ def unpack_composite(out):
         num_accumulated=out[:, OUT_NUMACC].astype(jnp.int32),
         num_traversed=out[:, OUT_TRAV].astype(jnp.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training variant: same culled drain, but every slot carries the FULL
+# per-hit payload (shading attrs + frame fields + global id), extracted with
+# two one-hot MXU dots per insertion, and the K slots are depth-sorted
+# in-kernel (rank-place) before being written out.  The training step then
+# composites / runs the loss-fused backward on [R, K] slot data with ZERO
+# XLA gathers - the stages that made train_step 15 s/iter at 768px.
+# ---------------------------------------------------------------------------
+
+# frame-table columns (second MXU side table, [N, FTABLE_A])
+FCOL_MEAN = 0      # 3
+FCOL_ROT = 3       # 9 (row-major)
+FCOL_INV = 12      # 3
+FCOL_SF = 15
+FCOL_OPACITY = 16
+FCOL_SCALING = 17  # 3 (activated exp(scale))
+FCOL_QUAT = 20     # 4 (raw quaternion)
+FTABLE_A = 32      # padded
+NUM_FRAME = 24     # used frame columns carried per slot
+
+SLOT_BLOCKS = 3 + NUM_ATTR + NUM_FRAME  # t, alpha, id, attrs, frames
+
+
+def pack_frame_table(frames, scene) -> jnp.ndarray:
+    """GaussianFrames + raw scene -> [N, FTABLE_A] f32 (backward inputs)."""
+    n = frames.mean.shape[0]
+    cols = jnp.zeros((n, FTABLE_A), jnp.float32)
+    cols = cols.at[:, FCOL_MEAN:FCOL_MEAN + 3].set(frames.mean)
+    cols = cols.at[:, FCOL_ROT:FCOL_ROT + 9].set(frames.rot.reshape(n, 9))
+    cols = cols.at[:, FCOL_INV:FCOL_INV + 3].set(frames.inv_sizes)
+    cols = cols.at[:, FCOL_SF].set(frames.sf)
+    cols = cols.at[:, FCOL_OPACITY].set(frames.opacity)
+    cols = cols.at[:, FCOL_SCALING:FCOL_SCALING + 3].set(
+        jnp.exp(scene.scaling))
+    cols = cols.at[:, FCOL_QUAT:FCOL_QUAT + 4].set(scene.rotation)
+    return cols
+
+
+def _drain_slots(valid, t, alpha, base_id, table, ftable,
+                 slot_t_ref, slot_alpha_ref, slot_id_ref, pay_ref, K):
+    """Replace-max drain extracting (id, attrs, frame fields) per hit.
+
+    Slot state lives in REFS and is mutated inside the while body - carrying
+    the ~37 [R, K] payload blocks as loop state made Mosaic copy/spill
+    ~1.2 MB per iteration (measured 91x slower than the render kernel's
+    drain).  The loop carry is just (tmin, kth, tmask)."""
+    R, C = t.shape
+    NP = NUM_ATTR + NUM_FRAME
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1).astype(jnp.float32)
+    slot_idx = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1).astype(jnp.float32)
+    gid = lane_ids + jax.lax.convert_element_type(base_id, jnp.float32)
+
+    kth0 = jnp.max(slot_t_ref[:], axis=1, keepdims=True)
+    tmask = jnp.where(valid & (t < kth0), t, INF)
+    tmin0 = jnp.min(tmask, axis=1, keepdims=True)
+
+    def cond(st):
+        return jnp.any(st[0] < st[1])
+
+    def body(st):
+        tmin, kth, tmask = st
+        ins = tmin < kth
+        is_min = (tmask <= tmin) & ins
+        id_sel = jnp.min(jnp.where(is_min, lane_ids, INF), axis=1,
+                         keepdims=True)
+        lane_oh = is_min & (lane_ids <= id_sel)
+        ohf = lane_oh.astype(jnp.float32)
+        a_val = jnp.sum(jnp.where(lane_oh, alpha, 0.0), axis=1,
+                        keepdims=True)
+        g_val = jnp.sum(jnp.where(lane_oh, gid, 0.0), axis=1, keepdims=True)
+        dn = (((1,), (0,)), ((), ()))
+        v1 = jax.lax.dot_general(ohf, table, dn,
+                                 preferred_element_type=jnp.float32)
+        v2 = jax.lax.dot_general(ohf, ftable, dn,
+                                 preferred_element_type=jnp.float32)
+
+        slot_t = slot_t_ref[:]
+        s_is_max = slot_t >= kth
+        s_win = jnp.min(jnp.where(s_is_max, slot_idx, jnp.float32(1e9)),
+                        axis=1, keepdims=True)
+        slot_oh = s_is_max & (slot_idx <= s_win) & ins
+        bc = lambda v: jnp.broadcast_to(v, (R, K))
+        new_t = jnp.where(slot_oh, bc(tmin), slot_t)
+        slot_t_ref[:] = new_t
+        slot_alpha_ref[:] = jnp.where(slot_oh, bc(a_val), slot_alpha_ref[:])
+        slot_id_ref[:] = jnp.where(slot_oh, bc(g_val), slot_id_ref[:])
+        for a in range(NP):
+            col = (v1[:, a:a + 1] if a < NUM_ATTR
+                   else v2[:, a - NUM_ATTR:a - NUM_ATTR + 1])
+            pay_ref[:, a * K:(a + 1) * K] = jnp.where(
+                slot_oh, bc(col), pay_ref[:, a * K:(a + 1) * K])
+        tmask = jnp.where(lane_oh, INF, tmask)
+        tmin = jnp.min(tmask, axis=1, keepdims=True)
+        kth = jnp.max(new_t, axis=1, keepdims=True)
+        return (tmin, kth, tmask)
+
+    jax.lax.while_loop(cond, body, (tmin0, kth0, tmask))
+
+
+def _rank_sort_to_ref(slot_t, blocks, fills, out_ref, K):
+    """Depth-sort (ties by slot index) applied to every block via rank-place
+    (the trace_kernel._sort_slots algorithm, generalized), writing sorted
+    column k of every block straight into out_ref at fori step k.
+
+    blocks are closed over as loop INVARIANTS (no carried state - carried
+    block tuples made Mosaic copy/spill them every iteration)."""
+    R = slot_t.shape[0]
+    slot_idx = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1).astype(jnp.float32)
+    rank = jnp.zeros((R, K), jnp.float32)
+    for shift in range(1, K):
+        ot = pltpu.roll(slot_t, shift=shift, axis=1)
+        oi = pltpu.roll(slot_idx, shift=shift, axis=1)
+        before = (ot < slot_t) | ((ot == slot_t) & (oi < slot_idx))
+        rank = rank + before.astype(jnp.float32)
+
+    def body(k, _):
+        kf = jax.lax.convert_element_type(k, jnp.float32)
+        sel = rank == kf
+        got = jnp.any(sel, axis=1, keepdims=True)
+        # single-lane dynamic stores are not lowerable (lane index must be
+        # 128-aligned) - masked full-block read-modify-writes instead
+        dst = (slot_idx == kf) & got
+        for a, (b, fill) in enumerate(zip(blocks, fills)):
+            v = jnp.sum(jnp.where(sel, b, 0.0), axis=1, keepdims=True)
+            cur = out_ref[:, a * K:(a + 1) * K]
+            out_ref[:, a * K:(a + 1) * K] = jnp.where(
+                dst, jnp.broadcast_to(jnp.where(got, v, fill), cur.shape),
+                cur)
+        return 0
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+    jax.lax.fori_loop(0, K, body, 0)
+
+
+def _slots_kernel(
+    cand_ref, cand_near_ref, scalar_ref, rays_ref, gpack0_ref, table0_ref,
+    ftable0_ref, gpack1_ref, table1_ref, ftable1_ref,
+    slots_out_ref, acc_out_ref,
+    slot_t_ref, slot_alpha_ref, slot_id_ref, pay_ref, acc_ref,
+    *, K: int, cluster: int, exp_power: float,
+):
+    ti = pl.program_id(0)
+    ci = pl.program_id(1)
+    log_thr = scalar_ref[9]
+    R = rays_ref.shape[0]
+    NP = NUM_ATTR + NUM_FRAME
+
+    @pl.when(ci == 0)
+    def _init():
+        slot_t_ref[:] = jnp.full((R, K), INF, jnp.float32)
+        slot_alpha_ref[:] = jnp.zeros((R, K), jnp.float32)
+        slot_id_ref[:] = jnp.zeros((R, K), jnp.float32)
+        pay_ref[:] = jnp.zeros_like(pay_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    saturated = acc_ref[:, 0:1] <= log_thr
+    kth = jnp.max(slot_t_ref[:], axis=1, keepdims=True)
+    dead = rays_ref[:, 6:7] <= 0.0
+    behind = kth < cand_near_ref[ti, 2 * ci]
+    all_done = jnp.all(saturated | behind | dead)
+
+    def compute(gpack_ref, table_ref, ftable_ref, cand):
+        t, alpha, valid, gvalid = _pair_math(scalar_ref, rays_ref, gpack_ref,
+                                             exp_power=exp_power)
+        acc_ref[:, 0:1] += jnp.sum(
+            jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1, keepdims=True
+        )
+        acc_ref[:, 1:2] += jnp.broadcast_to(jnp.sum(gvalid), (R, 1))
+        acc_ref[:, 2:3] += 1.0
+        _drain_slots(
+            valid, t, alpha, cand * cluster, table_ref[:], ftable_ref[:],
+            slot_t_ref, slot_alpha_ref, slot_id_ref, pay_ref, K,
+        )
+
+    @pl.when((cand_ref[ti, 2 * ci] >= 0) & ~all_done)
+    def _compute0():
+        compute(gpack0_ref, table0_ref, ftable0_ref, cand_ref[ti, 2 * ci])
+
+    @pl.when((cand_ref[ti, 2 * ci + 1] >= 0) & ~all_done)
+    def _compute1():
+        compute(gpack1_ref, table1_ref, ftable1_ref,
+                cand_ref[ti, 2 * ci + 1])
+
+    @pl.when(ci == pl.num_programs(1) - 1)
+    def _final():
+        blocks = [slot_t_ref[:], slot_alpha_ref[:], slot_id_ref[:]] + [
+            pay_ref[:, a * K:(a + 1) * K] for a in range(NP)]
+        fills = [INF, 0.0, 0.0] + [0.0] * NP
+        _rank_sort_to_ref(slot_t_ref[:], blocks, fills, slots_out_ref, K)
+        z = jnp.zeros((R, 1), jnp.float32)
+        acc_out_ref[:] = jnp.concatenate(
+            [acc_ref[:, 0:1], acc_ref[:, 1:2], acc_ref[:, 2:3]]
+            + [z] * 13, axis=1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret"),
+)
+def pallas_trace_slots(
+    rays_o, rays_d, gpack, table, ftable, candidates, cand_near, near, far,
+    exp_power, secondary, backfacing_max_dist,
+    backfacing_invalid_normal_threshold, transmittance_threshold=0.01,
+    max_hits: int = 32, cluster: int = 256, tile: int = 256,
+    interpret: bool = False, alive=None,
+):
+    """Culled trace returning depth-sorted full-payload slots.
+
+    Returns (slots [R, SLOT_BLOCKS*K], acc [R, 16]) - unpack with
+    unpack_slots."""
+    R = rays_o.shape[0]
+    N = gpack.shape[1]
+    assert N % cluster == 0 and R % tile == 0
+    K = max_hits
+    n_tiles = R // tile
+    if candidates.shape[1] % 2:
+        candidates = jnp.pad(candidates, ((0, 0), (0, 1)),
+                             constant_values=-1)
+        cand_near = jnp.pad(cand_near, ((0, 0), (0, 1)),
+                            constant_values=3e38)
+    mc = candidates.shape[1]
+    alive_col = (jnp.ones((R, 1), jnp.float32) if alive is None
+                 else alive.reshape(R, 1).astype(jnp.float32))
+    rays = jnp.concatenate(
+        [rays_o, rays_d, alive_col, jnp.zeros((R, 1), jnp.float32)], axis=1
+    ).astype(jnp.float32)
+    scalars = jnp.stack([
+        jnp.asarray(near, jnp.float32),
+        jnp.asarray(far, jnp.float32),
+        jnp.zeros((), jnp.float32),
+        jnp.asarray(secondary, jnp.float32),
+        jnp.asarray(backfacing_max_dist, jnp.float32),
+        jnp.asarray(backfacing_invalid_normal_threshold, jnp.float32),
+        jnp.asarray(transmittance_threshold, jnp.float32),
+        jnp.zeros((), jnp.float32),
+        jnp.zeros((), jnp.float32),
+        jnp.log(jnp.asarray(transmittance_threshold, jnp.float32)),
+    ])
+
+    def gspec(slot):
+        return pl.BlockSpec(
+            (N_ROWS, cluster),
+            lambda ti, ci, cand, cnear, s=slot: (
+                0, jnp.maximum(cand[ti, 2 * ci + s], 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    def tspec(slot, width):
+        return pl.BlockSpec(
+            (cluster, width),
+            lambda ti, ci, cand, cnear, s=slot: (
+                jnp.maximum(cand[ti, 2 * ci + s], 0), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    NPK = SLOT_BLOCKS * K
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, mc // 2),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 8), lambda ti, ci, cand, cnear: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            gspec(0), tspec(0, TABLE_A), tspec(0, FTABLE_A),
+            gspec(1), tspec(1, TABLE_A), tspec(1, FTABLE_A),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, NPK), lambda ti, ci, cand, cnear: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 16), lambda ti, ci, cand, cnear: (ti, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, K), jnp.float32),
+            pltpu.VMEM((tile, K), jnp.float32),
+            pltpu.VMEM((tile, K), jnp.float32),
+            pltpu.VMEM((tile, (NUM_ATTR + NUM_FRAME) * K), jnp.float32),
+            pltpu.VMEM((tile, 128), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_slots_kernel, K=K, cluster=cluster,
+                exp_power=float(exp_power)),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, NPK), jnp.float32),
+            jax.ShapeDtypeStruct((R, 16), jnp.float32),
+        ),
+        # the 37 slot blocks + [tile, NPK] output block overflow the 16 MB
+        # default scoped-vmem budget by ~1%; v5e has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(candidates, cand_near, scalars, rays, gpack, table, ftable,
+      gpack, table, ftable)
+
+
+def unpack_slots(slots, acc, K, rays_o, rays_d):
+    """Slots -> (RayHits-fields dict, attrs dict, frames dict).
+
+    gaussval and local_hit are RECOMPUTED from the slot frame fields
+    ([R, K] math, no gathers): gaussval = alpha / (MAX_ALPHA * opacity),
+    local_hit = sf * (lo + t * ld) with lo/ld from the stored frame."""
+    def blk(i):
+        return slots[:, i * K:(i + 1) * K]
+
+    def vec(i, n):
+        return jnp.stack([blk(i + j) for j in range(n)], axis=-1)
+
+    t = blk(0)
+    alpha = blk(1)
+    ids = blk(2)
+    a0 = 3
+    attrs = dict(rgb=vec(a0, 3), normal=vec(a0 + 3, 3), f0=vec(a0 + 6, 3),
+                 roughness=blk(a0 + 9))
+    f0_ = a0 + NUM_ATTR
+    valid = t < 1e37
+    v1 = valid[..., None]
+
+    def safe(x, default):
+        return jnp.where(v1 if x.ndim == 3 else valid, x, default)
+
+    # invalid slots carry zeros; substitute degenerate-safe frame values so
+    # backward's quaternion normalize / divisions never see 0/0 (their
+    # gradients are killed by weight = 0 regardless, matching the gathered
+    # path where empty slots alias Gaussian 0's real data)
+    quat = vec(f0_ + FCOL_QUAT, 4)
+    quat = jnp.where(v1, quat, jnp.array([1.0, 0, 0, 0], jnp.float32))
+    rot9 = vec(f0_ + FCOL_ROT, 9)
+    rot9 = jnp.where(v1, rot9,
+                     jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32))
+    frames = dict(
+        mean=safe(vec(f0_ + FCOL_MEAN, 3), 0.0),
+        rot=rot9,
+        inv_sizes=safe(vec(f0_ + FCOL_INV, 3), 1.0),
+        sf=safe(blk(f0_ + FCOL_SF), 1.0),
+        opacity=safe(blk(f0_ + FCOL_OPACITY), 1.0),
+        scaling_act=safe(vec(f0_ + FCOL_SCALING, 3), 1.0),
+        rotation_raw=quat,
+    )
+    ts = jnp.where(valid, t, 0.0)
+    from ..gaussian_kernel import MAX_ALPHA as MA
+    gaussval = jnp.where(
+        valid, alpha / jnp.maximum(MA * frames["opacity"], 1e-30), 0.0)
+    rot = frames["rot"].reshape(frames["rot"].shape[:2] + (3, 3))
+    rel = rays_o[:, None, :] - frames["mean"]
+    lo = jnp.sum(rot * rel[..., :, None], axis=-2) * frames["inv_sizes"]
+    ld = jnp.sum(rot * rays_d[:, None, :, None], axis=-2) * frames["inv_sizes"]
+    local_hit = frames["sf"][..., None] * (lo + ts[..., None] * ld)
+    hits = dict(
+        ids=jnp.where(valid, ids, 0.0).astype(jnp.int32),
+        t=ts,
+        alpha=jnp.where(valid, alpha, 0.0),
+        gaussval=gaussval,
+        local_hit=jnp.where(valid[..., None], local_hit, 0.0),
+        valid=valid,
+        full_T=jnp.exp(acc[:, 0]),
+        num_traversed=acc[:, 1].astype(jnp.int32),
+    )
+    frames["rot_mat"] = rot
+    return hits, attrs, frames

@@ -220,28 +220,29 @@ def backward_step(
     )
 
 
+_SCATTER_FIELDS = (("mean", 3), ("scale", 3), ("rotation", 4),
+                   ("opacity", 1), ("rgb", 3), ("normal", 3), ("f0", 3),
+                   ("roughness", 1), ("total_weight", 1))
+
+
 def scatter_grads(per_hit: dict, ids, num_gaussians) -> ParamGrads:
     """Deterministic segment-sum scatter of per-hit grads into [N] buffers.
 
     Replaces the reference's atomicAddX flush (backward_pass.cu:209-220).
-    """
+    All 22 gradient columns ride ONE scatter-add (a row per hit) - nine
+    separate scatters paid the per-index overhead nine times (~640 ms per
+    [147k x 32] tile on v5e)."""
     flat_ids = ids.reshape(-1)
-
-    def scat(v, ncols=None):
-        if v.ndim == 3:
-            flat = v.reshape(-1, v.shape[-1])
-            return jnp.zeros((num_gaussians, v.shape[-1]), v.dtype).at[flat_ids].add(flat)
-        flat = v.reshape(-1)
-        return jnp.zeros((num_gaussians,), v.dtype).at[flat_ids].add(flat)
-
-    return ParamGrads(
-        mean=scat(per_hit["mean"]),
-        scale=scat(per_hit["scale"]),
-        rotation=scat(per_hit["rotation"]),
-        opacity=scat(per_hit["opacity"]),
-        rgb=scat(per_hit["rgb"]),
-        normal=scat(per_hit["normal"]),
-        f0=scat(per_hit["f0"]),
-        roughness=scat(per_hit["roughness"]),
-        total_weight=scat(per_hit["total_weight"]),
-    )
+    cols = []
+    for name, n in _SCATTER_FIELDS:
+        v = per_hit[name]
+        cols.append(v.reshape(-1, n) if v.ndim == 3 else v.reshape(-1, 1))
+    payload = jnp.concatenate(cols, axis=1)               # [R*K, 22]
+    out = jnp.zeros((num_gaussians, payload.shape[1]),
+                    payload.dtype).at[flat_ids].add(payload)
+    pieces = {}
+    off = 0
+    for name, n in _SCATTER_FIELDS:
+        pieces[name] = out[:, off:off + n] if n > 1 else out[:, off]
+        off += n
+    return ParamGrads(**pieces)

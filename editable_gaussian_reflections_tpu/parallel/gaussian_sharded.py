@@ -30,6 +30,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.trace import RayHits, gather_frames, intersect_gathered, trace_rays
 from ..scene.gaussian_scene import GaussianScene, build_frames
+from ..renderer.raytracer import (
+    CameraParams,
+    RayTargets,
+    RenderSettings,
+    StepOutputs,
+    loss_gradients_per_step,
+)
 
 
 def shard_scene(scene: GaussianScene, n_shards: int) -> GaussianScene:
@@ -107,3 +114,228 @@ def gaussian_sharded_trace(
         full_T=jnp.exp(log_full_T),
         num_traversed=jnp.zeros(rays_o.shape[0], jnp.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full Gaussian-sharded training (VERDICT r1 item 8): compositing + loss-fused
+# backward with the parameter pytree sharded over "gauss", optionally composed
+# with ray DP over "rays" on a 2D mesh.  The per-hit merge carries every field
+# compositing/backward needs, so NO cross-shard attribute gather ever happens:
+# each device's HBM only ever holds its own [N/S] parameter shard plus
+# [R_local, S*K] merged hit payloads.
+# ---------------------------------------------------------------------------
+
+
+def _payload_tree(hits, frames_s, attrs_s, scene_s, g_scaling_act):
+    """Per-hit payload pytree, leading shape [R, K] (local-shard gathers)."""
+    ids = hits.ids
+    fg = gather_frames(frames_s, ids)
+    ga = jax.tree_util.tree_map(lambda a: a[ids], attrs_s)
+    return dict(
+        alpha=hits.alpha, gaussval=hits.gaussval, local_hit=hits.local_hit,
+        rgb=ga.rgb, normal=ga.normal, f0=ga.f0, roughness=ga.roughness,
+        opacity=fg.opacity, scaling_act=g_scaling_act[ids],
+        rotation_raw=scene_s.rotation[ids], rot=fg.rot,
+        inv_sizes=fg.inv_sizes, sf=fg.sf,
+    )
+
+
+def gaussian_sharded_train_step(
+    mesh: Mesh,
+    state,                      # training.TrainState, scene sharded on gauss
+    camera: CameraParams,
+    targets: RayTargets,        # [H*W, ...] flattened
+    settings: RenderSettings,
+    lrs: dict,
+    hyper: dict,
+    key,
+    width: int,
+    height: int,
+    num_bounces: int = 2,
+    max_hits: int = 32,
+    chunk: int = 2048,
+    jitter: bool = True,
+    gauss_axis: str = "gauss",
+    ray_axis: str | None = None,
+):
+    """One training step with Gaussians sharded over `gauss_axis` (and rays
+    over `ray_axis` when the mesh has one).
+
+    Numerically equivalent to training.train_step with tile = R/n_ray_shards
+    (same jitter keys, same per-tile RNG stream) up to collective summation
+    order - asserted by tests/test_gaussian_sharded.py on the gradients and
+    loss (Adam is scale-invariant, so summation-order noise on ~zero
+    gradients flips update signs; the grads are the stable contract).  The
+    memory profile is the point: parameters, Adam moments, and gradients all
+    stay [N/S] per device (the BASELINE.json 5M-Gaussian stretch config),
+    with one all_gather of [R_local, K, ~40] hit payloads per bounce riding
+    the ICI.  Returns (new_state, metrics, grads).
+    """
+    from ..ops.composite import composite
+    from ..ops.render_grads import backward_step, scatter_grads, zero_grads
+    from ..renderer.raytracer import _mask_hits
+    from ..training import apply_updates
+    from ..ops.camera_rays import primary_ray_directions
+    from ..ops import ggx
+
+    S = mesh.shape[gauss_axis]
+    n_ray = mesh.shape[ray_axis] if ray_axis else 1
+    scene = state.scene
+    N = scene.capacity
+    assert N % (S * chunk) == 0, (N, S, chunk)
+    n_local = N // S
+    R = width * height
+    assert R % n_ray == 0
+    K = max_hits
+
+    key_jit, key_b = jax.random.split(key)
+    dirs = primary_ray_directions(
+        width, height, camera.fov_y, camera.c2w,
+        jitter_key=key_jit if jitter else None,
+    ).reshape(-1, 3)
+
+    gspec = P(gauss_axis)
+    scene_specs = GaussianScene(
+        xyz=gspec, scaling=gspec, rotation=gspec, opacity=gspec,
+        diffuse=gspec, normal=gspec, f0=gspec, roughness=gspec,
+        live_mask=gspec,
+    )
+    rspec = P(ray_axis) if ray_axis else P()
+    grad_specs = jax.tree_util.tree_map(lambda _: gspec, zero_grads(1))
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(scene_specs, rspec, jax.tree_util.tree_map(
+            lambda _: rspec, targets), P()),
+        out_specs=(grad_specs, P()),
+        check_vma=False,
+    )
+    def grads_shard(scene_s, dirs_s, targets_s, key_b):
+        frames_s, attrs_s = build_frames(
+            scene_s, settings.alpha_threshold, settings.exp_power,
+            settings.global_scale_factor,
+        )
+        g_scaling_act = jnp.exp(scene_s.scaling)
+        shard = jax.lax.axis_index(gauss_axis)
+        offset = shard * n_local
+        ray_idx = jax.lax.axis_index(ray_axis) if ray_axis else 0
+        # train_step's RNG: one tile per ray shard
+        key_t = jax.random.fold_in(key_b, ray_idx)
+
+        Rl = dirs_s.shape[0]
+        rays_o = jnp.broadcast_to(camera.origin, (Rl, 3))
+        rays_d = dirs_s
+        alive = jnp.ones((Rl,), bool)
+        throughput = jnp.ones((Rl, 3), jnp.float32)
+        outs, residuals = [], []
+
+        for step in range(num_bounces + 1):
+            near = camera.znear if step == 0 else jnp.zeros_like(camera.znear)
+            hits_l = trace_rays(
+                rays_o, rays_d, frames_s, settings.exp_power, near,
+                camera.zfar, max_hits=K, chunk=chunk, secondary=(step > 0),
+                backfacing_max_dist=settings.backfacing_max_dist,
+                backfacing_invalid_normal_threshold=settings.backfacing_invalid_normal_threshold,
+            )
+            payload = _payload_tree(hits_l, frames_s, attrs_s, scene_s,
+                                    g_scaling_act)
+            payload["t"] = jnp.where(hits_l.valid, hits_l.t, jnp.inf)
+            payload["gid"] = jnp.where(
+                hits_l.valid, hits_l.ids + offset, -1).astype(jnp.int32)
+            # exact cross-shard merge: global top-K lives in the union of
+            # per-shard top-Ks; full_T is a product (log-psum) over shards
+            gath = jax.tree_util.tree_map(
+                lambda a: jax.lax.all_gather(a, gauss_axis, axis=1)
+                .reshape((Rl, S * K) + a.shape[2:]),
+                payload,
+            )
+            order = jnp.argsort(gath["t"], axis=-1)[:, :K]
+            take = lambda a: jnp.take_along_axis(
+                a, order.reshape(order.shape + (1,) * (a.ndim - 2)), axis=1)
+            m = jax.tree_util.tree_map(take, gath)
+            valid = jnp.isfinite(m["t"])
+            log_full_T = jax.lax.psum(
+                jnp.log(jnp.maximum(hits_l.full_T, 1e-37)), gauss_axis)
+            trav = jax.lax.psum(hits_l.num_traversed, gauss_axis)
+            mhits = RayHits(
+                ids=jnp.where(valid, m["gid"], 0),
+                t=jnp.where(valid, m["t"], 0.0),
+                alpha=jnp.where(valid, m["alpha"], 0.0),
+                gaussval=m["gaussval"], local_hit=m["local_hit"],
+                valid=valid, full_T=jnp.exp(log_full_T),
+                num_traversed=trav,
+            )
+            mhits = _mask_hits(mhits, alive)
+            comp = composite(
+                mhits, m["rgb"], m["normal"], m["f0"], m["roughness"],
+                settings.transmittance_threshold,
+                settings.eps_forward_normalization,
+            )
+            residuals.append((mhits, comp, m))
+
+            rgb_step = comp.rgb if step == 0 else comp.rgb * throughput
+            nlen = jnp.linalg.norm(comp.normal, axis=-1)
+            eff_normal = comp.normal / jnp.maximum(nlen, 1e-20)[:, None]
+            eff_roughness = jnp.maximum(comp.roughness,
+                                        settings.eps_min_roughness)
+            next_alive = alive & (
+                nlen >= settings.reflection_invalid_normal_threshold)
+            key_t, kstep = jax.random.split(key_t)
+            u = jax.random.uniform(kstep, (Rl, 2), jnp.float32)
+            eff_position = rays_o + comp.depth[:, None] * rays_d
+            next_dir = ggx.sample_cook_torrance(
+                eff_normal, -rays_d, eff_roughness, u)
+            next_origin = (eff_position
+                           + settings.eps_ray_surface_offset * next_dir)
+            w = ggx.cook_torrance_weight(
+                eff_normal, -rays_d, next_dir, eff_roughness, comp.f0)
+            next_throughput = jnp.where(
+                next_alive[:, None], throughput * jnp.nan_to_num(w), 0.0)
+            outs.append(dict(
+                rgb=rgb_step, normal=comp.normal, f0=comp.f0,
+                roughness=comp.roughness, depth=comp.depth,
+                transmittance=comp.T_final,
+                total_transmittance=comp.full_T,
+                throughput=next_throughput,
+                alive=alive.astype(jnp.float32),
+            ))
+            rays_o, rays_d = next_origin, next_dir
+            throughput = next_throughput
+            alive = next_alive
+
+        steps = StepOutputs(**{
+            k: jnp.stack([o[k] for o in outs], axis=0) for k in outs[0]})
+        dLs = loss_gradients_per_step(steps, targets_s, settings, num_bounces)
+
+        grads = zero_grads(n_local)
+        for step in range(num_bounces + 1):
+            mhits, comp, m = residuals[step]
+            dL_drgb, dL_dnormal, dL_df0, dL_drough, dL_ddepth = dLs[step]
+            per_hit = backward_step(
+                mhits, comp,
+                m["rgb"], m["normal"], m["f0"], m["roughness"],
+                m["opacity"], m["scaling_act"], m["rotation_raw"],
+                m["rot"], m["inv_sizes"], m["sf"],
+                dL_drgb, dL_dnormal, dL_df0, dL_drough, dL_ddepth,
+                settings.exp_power, settings.eps_scale_grad, n_local,
+                settings.global_scale_factor,
+            )
+            # ownership filter: scatter only hits whose Gaussian lives on
+            # this shard (ids are contiguous per shard)
+            own = (mhits.ids >= offset) & (mhits.ids < offset + n_local)
+            local_ids = jnp.where(own, mhits.ids - offset, 0)
+            per_hit = {k: jnp.where(
+                own.reshape(own.shape + (1,) * (v.ndim - 2)), v, 0.0)
+                for k, v in per_hit.items()}
+            grads = grads + scatter_grads(per_hit, local_ids, n_local)
+
+        if ray_axis:
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, ray_axis), grads)
+        l1 = jnp.sum(jnp.abs(steps.rgb[0] - targets_s.diffuse).mean(-1))
+        l1 = jax.lax.psum(l1, ray_axis) if ray_axis else l1
+        return grads, l1
+
+    grads, l1 = grads_shard(scene, dirs, targets, key_b)
+    new_state = apply_updates(state, grads, lrs, hyper)
+    return new_state, dict(l1_diffuse=l1 / R), grads

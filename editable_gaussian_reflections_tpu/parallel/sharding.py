@@ -117,8 +117,11 @@ def sharded_train_step(
     if ray_perm is not None:
         targets = jax.tree_util.tree_map(lambda a: a[ray_perm], targets)
 
-    bounds = culling["bounds"] if culling is not None else None
-    replicated = (frames, attrs, gpack, bounds, scene_for_bwd)
+    if culling is not None:
+        cull_rep = (culling["bounds"], culling["table"], culling["ftable"])
+    else:
+        cull_rep = None
+    replicated = (frames, attrs, gpack, cull_rep, scene_for_bwd)
 
     @partial(
         jax.shard_map,
@@ -128,11 +131,11 @@ def sharded_train_step(
         check_vma=False,  # scan carries inside trace_rays are unvarying inits
     )
     def grads_shard(rep, dirs_s, targets_s, key_b):
-        frames, attrs, gpack, bounds, scene_for_bwd = rep
+        frames, attrs, gpack, cull_rep, scene_for_bwd = rep
         # rebuild with the STATIC ints (shard_map args turn ints into tracers)
-        culling = None if bounds is None else dict(
-            bounds=bounds, cull_tile=cull_tile, cluster=cull_cluster,
-            mc=max_clusters,
+        culling = None if cull_rep is None else dict(
+            bounds=cull_rep[0], cull_tile=cull_tile, cluster=cull_cluster,
+            mc=max_clusters, table=cull_rep[1], ftable=cull_rep[2],
         )
         idx = jax.lax.axis_index("rays")
         dirs_t = dirs_s.reshape(tiles_per_shard, tile_sz, 3)

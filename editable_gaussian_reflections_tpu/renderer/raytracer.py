@@ -332,6 +332,113 @@ def render_tile_with_grads(
     return steps, final, grads
 
 
+def render_tile_with_grads_fused(
+    rays_o, rays_d, targets: RayTargets,
+    settings: RenderSettings, znear, zfar, key,
+    num_bounces: int, max_hits: int, *,
+    gpack, table, ftable, bounds, cull_tile: int, cull_cluster: int,
+    max_clusters: int, n_capacity: int, exp_power_static: float = 3.0,
+    interpret: bool = False,
+):
+    """Forward + loss-fused backward via the slots kernel: ZERO XLA gathers.
+
+    Per bounce ONE Pallas call returns depth-sorted slots carrying t/alpha/
+    id plus all shading attrs AND frame fields (two one-hot MXU dots per
+    inserted hit); compositing, the GGX epilogue, and backward_step then run
+    on [R, K] slot data directly.  Replaces render_tile_with_grads'
+    attrs[ids]/gather_frames stages, which dominated the 768px training
+    step (~15 s/iter -> the gathers were most of it).
+
+    Same RNG stream as render_tile, so single-device equivalence holds."""
+    from ..ops.culling import select_candidates
+    from ..ops.pallas.render_kernel import pallas_trace_slots, unpack_slots
+    from ..ops.trace import RayHits
+
+    R = rays_o.shape[0]
+    K = max_hits
+    num_steps = num_bounces + 1
+    alive = jnp.ones((R,), bool)
+    throughput = jnp.ones((R, 3), jnp.float32)
+    outs, residuals = [], []
+
+    for step in range(num_steps):
+        near = znear if step == 0 else jnp.zeros_like(znear)
+        cands, cnear, _n, _o = select_candidates(
+            rays_o, rays_d, bounds, near, zfar, tile=cull_tile,
+            max_clusters=max_clusters,
+        )
+        slots, acc = pallas_trace_slots(
+            rays_o, rays_d, gpack, table, ftable, cands, cnear, near, zfar,
+            exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
+            settings.backfacing_max_dist,
+            settings.backfacing_invalid_normal_threshold,
+            transmittance_threshold=settings.transmittance_threshold,
+            max_hits=K, cluster=cull_cluster, tile=cull_tile,
+            interpret=interpret, alive=alive,
+        )
+        hits_d, attrs_d, frames_d = unpack_slots(slots, acc, K, rays_o,
+                                                 rays_d)
+        hits = RayHits(**{k: hits_d[k] for k in RayHits._fields})
+        comp = composite(
+            hits, attrs_d["rgb"], attrs_d["normal"], attrs_d["f0"],
+            attrs_d["roughness"],
+            settings.transmittance_threshold,
+            settings.eps_forward_normalization,
+        )
+        residuals.append((hits, comp, attrs_d, frames_d))
+
+        rgb_step = comp.rgb if step == 0 else comp.rgb * throughput
+        nlen = jnp.linalg.norm(comp.normal, axis=-1)
+        eff_normal = comp.normal / jnp.maximum(nlen, 1e-20)[:, None]
+        eff_roughness = jnp.maximum(comp.roughness, settings.eps_min_roughness)
+        next_alive = alive & (nlen >= settings.reflection_invalid_normal_threshold)
+        key, kstep = jax.random.split(key)
+        u = jax.random.uniform(kstep, (R, 2), jnp.float32)
+        eff_position = rays_o + comp.depth[:, None] * rays_d
+        next_dir = ggx.sample_cook_torrance(eff_normal, -rays_d,
+                                            eff_roughness, u)
+        next_origin = eff_position + settings.eps_ray_surface_offset * next_dir
+        w = ggx.cook_torrance_weight(
+            eff_normal, -rays_d, next_dir, eff_roughness, comp.f0
+        )
+        next_throughput = jnp.where(
+            next_alive[:, None], throughput * jnp.nan_to_num(w), 0.0
+        )
+        outs.append(dict(
+            rgb=rgb_step, normal=comp.normal, f0=comp.f0,
+            roughness=comp.roughness, depth=comp.depth,
+            transmittance=comp.T_final, total_transmittance=comp.full_T,
+            throughput=next_throughput, alive=alive.astype(jnp.float32),
+        ))
+        rays_o, rays_d = next_origin, next_dir
+        throughput = next_throughput
+        alive = next_alive
+
+    steps = StepOutputs(
+        **{k: jnp.stack([o[k] for o in outs], axis=0) for k in outs[0]}
+    )
+    final = jnp.sum(steps.rgb, axis=0)
+    dLs = loss_gradients_per_step(steps, targets, settings, num_bounces)
+
+    grads = zero_grads(n_capacity, jnp.float32)
+    for step in range(num_steps):
+        hits, comp, attrs_d, frames_d = residuals[step]
+        dL_drgb, dL_dnormal, dL_df0, dL_drough, dL_ddepth = dLs[step]
+        per_hit = backward_step(
+            hits, comp,
+            attrs_d["rgb"], attrs_d["normal"], attrs_d["f0"],
+            attrs_d["roughness"],
+            frames_d["opacity"], frames_d["scaling_act"],
+            frames_d["rotation_raw"], frames_d["rot_mat"],
+            frames_d["inv_sizes"], frames_d["sf"],
+            dL_drgb, dL_dnormal, dL_df0, dL_drough, dL_ddepth,
+            settings.exp_power, settings.eps_scale_grad, n_capacity,
+            settings.global_scale_factor,
+        )
+        grads = grads + scatter_grads(per_hit, hits.ids, n_capacity)
+    return steps, final, grads
+
+
 @partial(
     jax.jit,
     static_argnames=("width", "height", "num_bounces", "max_hits", "chunk",

@@ -133,13 +133,19 @@ def prepare_render_inputs(
         # Morton-sort the scene for tight clusters; gradients are unsorted
         # back at the end (hit ids refer to the sorted layout).
         from .ops.culling import cluster_bounds, morton_order
+        from .ops.pallas.render_kernel import (
+            pack_attr_table,
+            pack_frame_table,
+        )
         gauss_perm = morton_order(frames)
         frames = jax.tree_util.tree_map(lambda a: a[gauss_perm], frames)
         attrs = jax.tree_util.tree_map(lambda a: a[gauss_perm], attrs)
         scene_for_bwd = jax.tree_util.tree_map(lambda a: a[gauss_perm], scene)
         bounds = cluster_bounds(frames, cull_cluster)
         culling = dict(bounds=bounds, cull_tile=cull_tile,
-                       cluster=cull_cluster, mc=max_clusters)
+                       cluster=cull_cluster, mc=max_clusters,
+                       table=pack_attr_table(attrs),
+                       ftable=pack_frame_table(frames, scene_for_bwd))
     if use_pallas:
         from .ops.pallas.trace_kernel import pack_frames
         gpack = pack_frames(frames, attrs)
@@ -183,17 +189,33 @@ def grads_over_tiles(
     num_tiles = dirs_t.shape[0]
     n = scene_for_bwd.capacity
 
+    fused = (use_pallas and culling is not None and "table" in culling)
+
     def body(carry, inp):
         grads_acc, loss_acc = carry
         i, dirs_i, tgt_i = inp
-        steps, final, grads = render_tile_with_grads(
-            origins, dirs_i, frames,
-            attrs, scene_for_bwd, tgt_i, settings, camera.znear, camera.zfar,
-            jax.random.fold_in(key_b, tile_offset + i),
-            num_bounces, max_hits, chunk,
-            use_pallas=use_pallas, exp_power_static=exp_power_static,
-            gpack=gpack, culling=culling, interpret=interpret,
-        )
+        key_i = jax.random.fold_in(key_b, tile_offset + i)
+        if fused:
+            from .renderer.raytracer import render_tile_with_grads_fused
+            steps, final, grads = render_tile_with_grads_fused(
+                origins, dirs_i, tgt_i, settings, camera.znear, camera.zfar,
+                key_i, num_bounces, max_hits,
+                gpack=gpack, table=culling["table"],
+                ftable=culling["ftable"], bounds=culling["bounds"],
+                cull_tile=culling["cull_tile"],
+                cull_cluster=culling["cluster"],
+                max_clusters=culling["mc"], n_capacity=n,
+                exp_power_static=exp_power_static, interpret=interpret,
+            )
+        else:
+            steps, final, grads = render_tile_with_grads(
+                origins, dirs_i, frames,
+                attrs, scene_for_bwd, tgt_i, settings, camera.znear,
+                camera.zfar, key_i,
+                num_bounces, max_hits, chunk,
+                use_pallas=use_pallas, exp_power_static=exp_power_static,
+                gpack=gpack, culling=culling, interpret=interpret,
+            )
         l1 = jnp.sum(jnp.abs(steps.rgb[0] - tgt_i.diffuse).mean(-1))
         grads_acc = grads_acc + grads
         return (grads_acc, loss_acc + l1), None

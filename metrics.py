@@ -37,10 +37,79 @@ def ssim_metric(pred, gt, C1=0.01**2, C2=0.03**2, win=11, sigma=1.5):
     return float(np.mean([chan(pred[..., c], gt[..., c]) for c in range(pred.shape[-1])]))
 
 
-def lpips_metric_or_none():
-    """LPIPS needs pretrained VGG/Alex weights; offline environments without a
-    cached checkpoint skip it (reference default metrics list is psnr-only)."""
-    return None
+class RandomVGGLPIPS:
+    """Offline-capable LPIPS substitute (reference metrics.py:31-73 uses
+    torchmetrics LPIPS with pretrained VGG weights, which cannot be fetched
+    in a zero-egress environment).
+
+    A VGG-16-topology feature stack with DETERMINISTIC He-initialized random
+    weights (seed 0) and LPIPS-style scoring: per-layer unit-normalized
+    channel features, squared differences averaged over space and channels,
+    summed over layers.  Randomly-initialized conv features are an
+    established perceptual-distance fallback (Zhang et al. 2018 report
+    untrained AlexNet/VGG variants track human judgments well above PSNR /
+    SSIM); absolute values are NOT comparable to pretrained-LPIPS numbers,
+    so metrics.json labels the field "lpips_rand"."""
+
+    CHANNELS = (64, 128, 256, 512, 512)
+    BLOCKS = (2, 2, 3, 3, 3)
+
+    def __init__(self, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        self.weights = []
+        cin = 3
+        for cout, blocks in zip(self.CHANNELS, self.BLOCKS):
+            layer = []
+            for _ in range(blocks):
+                w = rng.normal(
+                    0.0, np.sqrt(2.0 / (9 * cin)), (3, 3, cin, cout)
+                ).astype(np.float32)
+                layer.append(w)
+                cin = cout
+            self.weights.append(layer)
+        self._fn = None
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+
+        weights = [[jnp.asarray(w) for w in layer] for layer in self.weights]
+        mean = jnp.asarray([0.485, 0.456, 0.406])
+        std = jnp.asarray([0.229, 0.224, 0.225])
+
+        def features(x):          # x: [H, W, 3] in [0, 1]
+            x = (x - mean) / std
+            x = x[None]
+            feats = []
+            for layer in weights:
+                for w in layer:
+                    x = jax.lax.conv_general_dilated(
+                        x, w, (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    x = jax.nn.relu(x)
+                feats.append(x)
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                    "VALID")
+            return feats
+
+        def dist(a, b):
+            fa, fb = features(a), features(b)
+            total = 0.0
+            for xa, xb in zip(fa, fb):
+                na = xa / jnp.sqrt(
+                    jnp.sum(xa * xa, axis=-1, keepdims=True) + 1e-10)
+                nb = xb / jnp.sqrt(
+                    jnp.sum(xb * xb, axis=-1, keepdims=True) + 1e-10)
+                total = total + jnp.mean(jnp.sum((na - nb) ** 2, axis=-1))
+            return total
+
+        self._fn = jax.jit(dist)
+
+    def __call__(self, pred, gt) -> float:
+        if self._fn is None:
+            self._build()
+        return float(self._fn(pred.astype(np.float32), gt.astype(np.float32)))
 
 
 def main(argv=None):
@@ -59,6 +128,7 @@ def main(argv=None):
     scores = {rp: {m: 0.0 for m in args.metrics} for rp in args.render_passes}
     counts = {rp: 0 for rp in args.render_passes}
     base = os.path.join(args.model_path, args.split, f"ours_{args.iteration}")
+    lpips = RandomVGGLPIPS() if "lpips" in args.metrics else None
 
     for rp in args.render_passes:
         pred_dir = os.path.join(base, rp)
@@ -77,11 +147,17 @@ def main(argv=None):
                 scores[rp]["psnr"] += psnr_metric(pred, gt)
             if "ssim" in args.metrics:
                 scores[rp]["ssim"] += ssim_metric(pred, gt)
+            if lpips is not None:
+                scores[rp]["lpips"] += lpips(pred, gt)
 
     for rp in args.render_passes:
-        for m in scores[rp]:
+        for m in list(scores[rp]):
             if counts[rp]:
-                scores[rp][m] = round(scores[rp][m] / counts[rp], 2)
+                scores[rp][m] = round(scores[rp][m] / counts[rp], 4)
+        if "lpips" in scores[rp]:
+            # random-weight substitute - flag it so numbers are never
+            # mistaken for pretrained-VGG LPIPS (see RandomVGGLPIPS)
+            scores[rp]["lpips_rand"] = scores[rp].pop("lpips")
 
     print(json.dumps(scores, indent=4))
     with open(os.path.join(args.model_path, "metrics.json"), "w") as f:
