@@ -46,7 +46,9 @@ def main(argv=None):
     from editable_gaussian_reflections_tpu.renderer.raytracer import (
         CameraParams,
         RenderSettings,
+        fused_path_ok,
         render_accumulated,
+        render_accumulated_fused,
     )
     from editable_gaussian_reflections_tpu.scene.gaussian_scene import from_arrays
     from editable_gaussian_reflections_tpu.scene.scene import save_scene_ply
@@ -93,12 +95,21 @@ def main(argv=None):
                 znear=jnp.asarray(0.05),
                 zfar=jnp.asarray(50.0),
             )
-            steps, final = render_accumulated(
-                scene, cam, settings, jax.random.PRNGKey(1000 + i + offset),
-                args.size, args.size, spp=args.spp, num_bounces=2,
-                max_hits=32, chunk=2048, tile=8192,
-                use_pallas=use_pallas,
-            )
+            if use_pallas and fused_path_ok(scene, args.size, args.size, 128):
+                steps, final = render_accumulated_fused(
+                    scene, cam, settings,
+                    jax.random.PRNGKey(1000 + i + offset),
+                    args.size, args.size, spp=args.spp, num_bounces=2,
+                    max_hits=32, cull_cluster=128, max_clusters=192,
+                )
+            else:
+                steps, final = render_accumulated(
+                    scene, cam, settings,
+                    jax.random.PRNGKey(1000 + i + offset),
+                    args.size, args.size, spp=args.spp, num_bounces=2,
+                    max_hits=32, chunk=2048, tile=8192,
+                    use_pallas=use_pallas,
+                )
             H = W = args.size
             bufs = {
                 "render": np.asarray(final).reshape(H, W, 3),
@@ -128,7 +139,7 @@ def main(argv=None):
 
     # init point cloud: jittered GT means (the dense-init analog)
     rng = np.random.default_rng(0)
-    n_init = min(args.n_gaussians, 20000)
+    n_init = min(args.n_gaussians, 120000)
     idx = rng.permutation(args.n_gaussians)[:n_init]
     pts = arrs["xyz"][idx] + rng.normal(0, 0.02, (n_init, 3)).astype(np.float32)
     cols = np.clip(arrs["diffuse"][idx], 0, 1)
