@@ -108,15 +108,29 @@ def render_set(cli, cfg, split, iteration, views, scene_params, settings):
 
             cam = camera_params(view, znear=cli.znear, zfar=view.zfar)
             H, W = view.image_height, view.image_width
+            from editable_gaussian_reflections_tpu.renderer.raytracer import (
+                fused_path_ok,
+                render_accumulated_fused,
+            )
             from editable_gaussian_reflections_tpu.renderer.render import (
                 default_backend_kwargs,
             )
-            steps, final = render_accumulated(
-                scene_params, cam, settings, jax.random.PRNGKey(idx),
-                W, H, spp=cli.spp, num_bounces=2, max_hits=cfg.max_hits,
-                chunk=cfg.trace_chunk, tile=cfg.ray_tile,
-                **default_backend_kwargs(cfg),
-            )
+            bk = default_backend_kwargs(cfg)
+            if (bk.get("use_pallas") and bk.get("use_culling")
+                    and fused_path_ok(scene_params, W, H, cfg.cull_cluster)):
+                steps, final = render_accumulated_fused(
+                    scene_params, cam, settings, jax.random.PRNGKey(idx),
+                    W, H, spp=cli.spp, num_bounces=2, max_hits=cfg.max_hits,
+                    cull_cluster=cfg.cull_cluster,
+                    max_clusters=cfg.max_clusters,
+                )
+            else:
+                steps, final = render_accumulated(
+                    scene_params, cam, settings, jax.random.PRNGKey(idx),
+                    W, H, spp=cli.spp, num_bounces=2, max_hits=cfg.max_hits,
+                    chunk=cfg.trace_chunk, tile=cfg.ray_tile,
+                    **bk,
+                )
             rgb = np.asarray(steps.rgb).reshape(-1, H, W, 3)
             final_img = np.asarray(final).reshape(H, W, 3)
             if cli.denoise:

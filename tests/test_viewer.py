@@ -84,3 +84,40 @@ def test_accumulation_resets_on_edit(state):
     req["viewer"]["edits"] = {"blob": {"translate_x": 0.3}}
     svc.tick(req)
     assert state._accum_count == 1  # dirty -> reset
+
+
+def test_pipelined_handler_overlaps_and_replies_in_order(state):
+    """The websocket handler submits request N before awaiting N-1
+    (VERDICT r1 item 9); every request gets a reply and frames arrive in
+    submission order (with the first frame primed twice)."""
+    import asyncio
+
+    svc = RenderService(state)
+
+    sent = []
+
+    class FakeSocket:
+        def __init__(self, requests):
+            self.requests = list(requests)
+
+        async def recv(self):
+            if not self.requests:
+                raise ConnectionError("client done")
+            return json.dumps(self.requests.pop(0))
+
+        async def send(self, payload):
+            sent.append(payload)
+
+        async def close(self):
+            pass
+
+    reqs = [{"viewer": {"render_mode": 0}} for _ in range(4)]
+    asyncio.run(svc._handle(FakeSocket(reqs)))
+    # 3 messages per tick (metadata json, binary map json, frame bytes);
+    # 4 requests -> 4 replies
+    assert len(sent) == 12
+    frames = [p for p in sent if isinstance(p, (bytes, bytearray))]
+    assert len(frames) == 4
+    h, w = state.height, state.width
+    for f in frames:
+        assert len(f) == h * w * 3

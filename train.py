@@ -265,6 +265,13 @@ def main(cfg: Config, resume: bool = False):
             viewer_state.gaussians.is_dirty = True
             viewer_state.gaussians._cached = None
 
+        if iteration % 100 == 0:
+            # drain the async dispatch queue so elapsed times are honest and
+            # the host can't run unboundedly ahead of the device (on lazy
+            # backends the host otherwise reaches eval milestones minutes
+            # before the device finishes the queued steps)
+            float(metrics["l1_diffuse"])
+
         if iteration in cfg.test_iterations:
             training_report(cfg, scene, state, tb_writer, iteration,
                             start_time, settings, num_bounces)
