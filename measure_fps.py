@@ -19,11 +19,10 @@ import numpy as np
 def measure_fps(cfg, views, scene_params, settings):
     import jax
 
-    from editable_gaussian_reflections_tpu.renderer.render import camera_params
-    from editable_gaussian_reflections_tpu.renderer.raytracer import render_frame
-
     from editable_gaussian_reflections_tpu.renderer.render import (
+        camera_params,
         default_backend_kwargs,
+        dispatch_render_frame,
     )
 
     H, W = views[0].image_height, views[0].image_width
@@ -34,15 +33,17 @@ def measure_fps(cfg, views, scene_params, settings):
     # * Warmup (compile)
     for view in views:
         cam = camera_params(view, znear=view.znear, zfar=view.zfar)
-        _, final = render_frame(scene_params, cam, settings,
-                                jax.random.PRNGKey(0), W, H, **kwargs)
+        _, final = dispatch_render_frame(scene_params, cam, settings,
+                                         jax.random.PRNGKey(0), W, H,
+                                         **kwargs)
     np.asarray(final)
 
     t0 = time.perf_counter()
     for i, view in enumerate(views):
         cam = camera_params(view, znear=view.znear, zfar=view.zfar)
-        _, final = render_frame(scene_params, cam, settings,
-                                jax.random.PRNGKey(i), W, H, **kwargs)
+        _, final = dispatch_render_frame(scene_params, cam, settings,
+                                         jax.random.PRNGKey(i), W, H,
+                                         **kwargs)
     np.asarray(final)  # close the async dispatch queue
     elapsed = time.perf_counter() - t0
 
