@@ -220,7 +220,8 @@ def parse_cli(argv=None):
     p.add_argument("--iteration", type=int, default=None)
     p.add_argument("--spp", type=int, default=128)
     p.add_argument("--split", choices=["train", "test"], default="test")
-    p.add_argument("--denoise", dest="denoise", action="store_true", default=True)
+    p.add_argument("--denoise", dest="denoise", action="store_true",
+                   default=None)
     p.add_argument("--no_denoise", dest="denoise", action="store_false")
     p.add_argument("--modes", nargs="*", default=["regular"])
     p.add_argument("--skip_video", action="store_true")
@@ -234,6 +235,11 @@ def main(argv=None):
     cfg = load_model_config(cli.model_path, unknown, prog="render")
     set_seeds()
 
+    if cli.denoise is None:
+        # the a-trous denoiser gains ~+0.5 dB at low spp but softens
+        # converged high-spp renders (denoiser_eval.json) - unlike the
+        # reference's ML denoiser - so it defaults on only below 16 spp
+        cli.denoise = cli.spp < 16
     if cli.iteration is None:
         cli.iteration = search_for_max_iteration(
             os.path.join(cli.model_path, "point_cloud")
