@@ -49,7 +49,7 @@ def main():
         # composite), whole-frame grids
         fn = lambda k: render_frame_fused(
             scene, camera, settings, k, width, height,
-            num_bounces=2, max_hits=32, cull_cluster=128, max_clusters=128,
+            num_bounces=2, max_hits=32, cull_cluster=128, max_clusters=96,
         )
     else:
         fn = lambda k: render_frame(
