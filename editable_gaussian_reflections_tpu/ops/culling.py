@@ -147,8 +147,13 @@ def select_candidates(
 ):
     """Per-tile candidate cluster lists, nearest-first along the tile axis.
 
-    Overflow beyond max_clusters drops the FARTHEST clusters (their
-    contribution is the truncated tail the compositor already corrects for).
+    Overflow beyond max_clusters drops the FARTHEST clusters.  NOTE: dropped
+    clusters are NOT covered by the compositor's truncated-tail correction -
+    full_T only accumulates log-transmittance over chunks the kernel actually
+    computed (render_kernel.py full_T accumulation), so their hits are simply
+    absent.  Callers must surface the overflow flag (it rides StepOutputs
+    per ray) and size max_clusters so overflow stays ~0; bench.py and the
+    parity run assert/report it.
     Returns (candidates int32 [T, MC] (-1 = empty), cand_near f32 [T, MC]
     conservative near distance per candidate, num [T], overflow [T]).
     """

@@ -288,7 +288,10 @@ def _render_kernel(
         acc_ref[:, 0:1] += jnp.sum(
             jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1, keepdims=True
         )
-        acc_ref[:, 1:2] += jnp.broadcast_to(jnp.sum(gvalid), (R, 1))
+        # keepdims reduce stays in vector registers; jnp.sum to a 0-d scalar
+        # forces a vector->SREG sync per chunk (measured ~us-scale, round 3)
+        acc_ref[:, 1:2] += jnp.broadcast_to(
+            jnp.sum(gvalid, axis=1, keepdims=True), (R, 1))
         acc_ref[:, 2:3] += 1.0  # computed (non-skipped) chunk counter
         _drain_composite(
             valid, t, alpha, table_ref[:], slot_t_ref, slot_alpha_ref,
@@ -585,7 +588,10 @@ def _slots_kernel(
         acc_ref[:, 0:1] += jnp.sum(
             jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1, keepdims=True
         )
-        acc_ref[:, 1:2] += jnp.broadcast_to(jnp.sum(gvalid), (R, 1))
+        # keepdims reduce stays in vector registers; jnp.sum to a 0-d scalar
+        # forces a vector->SREG sync per chunk (measured ~us-scale, round 3)
+        acc_ref[:, 1:2] += jnp.broadcast_to(
+            jnp.sum(gvalid, axis=1, keepdims=True), (R, 1))
         acc_ref[:, 2:3] += 1.0
         _drain_slots(
             valid, t, alpha, cand * cluster, table_ref[:], ftable_ref[:],

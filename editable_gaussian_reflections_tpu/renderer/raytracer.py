@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import ggx
 from ..ops.camera_rays import primary_ray_directions
@@ -78,6 +79,10 @@ class StepOutputs(NamedTuple):
     total_transmittance: jnp.ndarray  # [S, R] exact full_T per step
     throughput: jnp.ndarray      # [S, R, 3]
     alive: jnp.ndarray           # [S, R] ray was active at this step
+    overflow: jnp.ndarray        # [S, R] cull-candidate-list overflow flag
+                                 # (per cull tile, broadcast per ray): hits
+                                 # beyond max_clusters were silently dropped
+                                 # this step - NOT tail-corrected
 
 
 class RayTargets(NamedTuple):
@@ -140,10 +145,11 @@ def render_tile(
         if use_pallas and culling is not None:
             from ..ops.culling import select_candidates
             from ..ops.trace import trace_rays_culled
-            cands, cnear, _num, _ovf = select_candidates(
+            cands, cnear, _num, ovf = select_candidates(
                 rays_o, rays_d, culling["bounds"], near, zfar,
                 tile=culling["cull_tile"], max_clusters=culling["mc"],
             )
+            ovf_ray = jnp.repeat(ovf.astype(dtype), culling["cull_tile"])
             hits, slot_attrs = trace_rays_culled(
                 rays_o, rays_d, frames, gpack, cands, cnear,
                 exp_power_static, near, zfar,
@@ -173,6 +179,8 @@ def render_tile(
                 backfacing_invalid_normal_threshold=settings.backfacing_invalid_normal_threshold,
             )
             slot_attrs = None
+        if not (use_pallas and culling is not None):
+            ovf_ray = jnp.zeros((R,), dtype)
         hits = _mask_hits(hits, alive)
 
         if slot_attrs is not None:
@@ -225,6 +233,7 @@ def render_tile(
                 total_transmittance=comp.full_T,
                 throughput=next_throughput,
                 alive=alive.astype(dtype),  # float so SPP accumulation can sum
+                overflow=ovf_ray,
             )
         )
         rays_o, rays_d = next_origin, next_dir
@@ -363,10 +372,11 @@ def render_tile_with_grads_fused(
 
     for step in range(num_steps):
         near = znear if step == 0 else jnp.zeros_like(znear)
-        cands, cnear, _n, _o = select_candidates(
+        cands, cnear, _n, ovf = select_candidates(
             rays_o, rays_d, bounds, near, zfar, tile=cull_tile,
             max_clusters=max_clusters,
         )
+        ovf_ray = jnp.repeat(ovf.astype(jnp.float32), cull_tile)
         slots, acc = pallas_trace_slots(
             rays_o, rays_d, gpack, table, ftable, cands, cnear, near, zfar,
             exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
@@ -409,6 +419,7 @@ def render_tile_with_grads_fused(
             roughness=comp.roughness, depth=comp.depth,
             transmittance=comp.T_final, total_transmittance=comp.full_T,
             throughput=next_throughput, alive=alive.astype(jnp.float32),
+            overflow=ovf_ray,
         ))
         rays_o, rays_d = next_origin, next_dir
         throughput = next_throughput
@@ -599,11 +610,8 @@ def render_frame_fused(
         select_candidates,
         tile_pixel_order,
     )
-    from ..ops.pallas.render_kernel import (
-        pack_attr_table,
-        pallas_render_culled,
-        unpack_composite,
-    )
+    from ..ops.pallas.render_kernel import unpack_composite
+    from ..ops.pallas.render_kernel_v3 import pallas_render_culled_v3
     from ..ops.pallas.trace_kernel import pack_frames
 
     frames, attrs = build_frames(
@@ -614,8 +622,8 @@ def render_frame_fused(
     frames = jax.tree_util.tree_map(lambda a: a[perm], frames)
     attrs = jax.tree_util.tree_map(lambda a: a[perm], attrs)
     bounds = cluster_bounds(frames, cull_cluster)
-    gpack = pack_frames(frames)            # geometry only; attrs via table
-    table = pack_attr_table(attrs)
+    # v3 kernel extracts shading attrs straight from gpack rows 16..31
+    gpack = pack_frames(frames, attrs)
 
     ray_perm, ray_inv = tile_pixel_order(height, width, 16, 16)
     ray_perm = jnp.asarray(ray_perm)
@@ -676,17 +684,20 @@ def render_frame_fused(
         else:
             order = inv_order = None
             rays_o_k, rays_d_k, alive_k = rays_o, rays_d, alive
-        cands, cnear, _num, _ovf = select_candidates(
+        cands, cnear, num, ovf = select_candidates(
             rays_o_k, rays_d_k, bounds, near, camera.zfar,
             tile=256, max_clusters=max_clusters,
         )
+        ovf_ray = jnp.repeat(ovf.astype(jnp.float32), 256)
+        if inv_order is not None:
+            ovf_ray = ovf_ray[inv_order]
         mc = cands.shape[1]
         tpc = rays_per_call // 256          # tiles per kernel call
 
         def one_call(args):
-            ro, rd, al, cd, cn = args
-            out = pallas_render_culled(
-                ro, rd, gpack, table, cd, cn, near, camera.zfar,
+            ro, rd, al, cd, cn, nm = args
+            out = pallas_render_culled_v3(
+                ro, rd, gpack, cd, cn, nm, near, camera.zfar,
                 exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
                 settings.backfacing_max_dist,
                 settings.backfacing_invalid_normal_threshold,
@@ -703,6 +714,7 @@ def render_frame_fused(
             alive_k.reshape(n_call, rays_per_call),
             cands.reshape(n_call, tpc, mc),
             cnear.reshape(n_call, tpc, mc),
+            num.reshape(n_call, tpc),
         ))
         out = out.reshape(Rp, -1)
         if inv_order is not None:
@@ -743,6 +755,7 @@ def render_frame_fused(
                 total_transmittance=comp["full_T"],
                 throughput=next_throughput,
                 alive=alive.astype(jnp.float32),
+                overflow=ovf_ray,
             )
         )
         rays_o, rays_d = next_origin, next_dir
@@ -790,8 +803,15 @@ def render_accumulated_fused(
     max_clusters: int = 64,
     rays_per_call: int = 65536,
     interpret: bool = False,
+    key_offset=0,
 ):
-    """SPP accumulation over the fused whole-frame path (one HLO instance)."""
+    """SPP accumulation over the fused whole-frame path (one HLO instance).
+
+    `key_offset` (traced) shifts the per-sample RNG fold so host-side SPP
+    chunking (render_accumulated_chunked) reproduces the exact sample stream
+    of a single big dispatch."""
+    key_offset = jnp.asarray(key_offset, jnp.int32)
+
     def one(k):
         return render_frame_fused.__wrapped__(
             scene, camera, settings, k, width, height, num_bounces, max_hits,
@@ -801,16 +821,63 @@ def render_accumulated_fused(
 
     def body(i, acc):
         return jax.tree_util.tree_map(
-            lambda a, b: a + b, acc, one(jax.random.fold_in(key, i))
+            lambda a, b: a + b, acc, one(jax.random.fold_in(key, key_offset + i))
         )
 
-    first = one(jax.random.fold_in(key, 0))
+    first = one(jax.random.fold_in(key, key_offset))
     if spp > 1:
         steps, final = jax.lax.fori_loop(1, spp, body, first)
     else:
         steps, final = first
     inv = 1.0 / spp
     return jax.tree_util.tree_map(lambda a: a * inv, steps), final * inv
+
+
+def render_accumulated_chunked(
+    scene: GaussianScene,
+    camera: CameraParams,
+    settings: RenderSettings,
+    key,
+    width: int,
+    height: int,
+    spp: int = 128,
+    spp_chunk: int = 16,
+    *,
+    fused: bool = True,
+    **kwargs,
+):
+    """Host-chunked SPP accumulation: <= spp_chunk samples per device
+    dispatch, averaged on the host.
+
+    Very long single dispatches (a 128-iteration on-device SPP fori over a
+    whole frame) trip the device watchdog (round-2 parity eval crashed after
+    2/8 views - RESULTS.md); the reference's accumulator design is also
+    one launch per sample (render.py:197-206, framebuffer.h:104-128).  The
+    sample stream is IDENTICAL to the single-dispatch path via key_offset,
+    so chunked == unchunked up to float re-association (tested in
+    tests/test_render_small.py)."""
+    acc = None
+    done = 0
+    while done < spp:
+        m = min(spp_chunk, spp - done)
+        if fused:
+            steps, final = render_accumulated_fused(
+                scene, camera, settings, key, width, height, spp=m,
+                key_offset=done, **kwargs,
+            )
+        else:
+            steps, final = render_accumulated(
+                scene, camera, settings, jax.random.fold_in(key, done),
+                width, height, spp=m, **kwargs,
+            )
+        part = jax.tree_util.tree_map(
+            lambda a: np.asarray(a, dtype=np.float64) * (m / spp),
+            (steps, final),
+        )
+        acc = part if acc is None else jax.tree_util.tree_map(
+            lambda a, b: a + b, acc, part)
+        done += m
+    return jax.tree_util.tree_map(lambda a: a.astype(np.float32), acc)
 
 
 @partial(

@@ -21,8 +21,7 @@ from editable_gaussian_reflections_tpu.config import load_model_config
 from editable_gaussian_reflections_tpu.ops.tonemap import tonemap
 from editable_gaussian_reflections_tpu.renderer.render import camera_params
 from editable_gaussian_reflections_tpu.renderer.raytracer import (
-    RenderSettings,
-    render_accumulated,
+    RenderSettings,  # noqa: F401  (re-exported for tools)
 )
 from editable_gaussian_reflections_tpu.scene.scene import (
     Scene,
@@ -90,6 +89,7 @@ def render_set(cli, cfg, split, iteration, views, scene_params, settings):
         os.makedirs(dirs[p + "_gt"], exist_ok=True)
 
     videos = {p: [] for p in PASSES}
+    overflow_fracs = []
 
     for mode in cli.modes:
         view0 = None
@@ -110,24 +110,30 @@ def render_set(cli, cfg, split, iteration, views, scene_params, settings):
             H, W = view.image_height, view.image_width
             from editable_gaussian_reflections_tpu.renderer.raytracer import (
                 fused_path_ok,
-                render_accumulated_fused,
+                render_accumulated_chunked,
             )
             from editable_gaussian_reflections_tpu.renderer.render import (
                 default_backend_kwargs,
             )
             bk = default_backend_kwargs(cfg)
+            # SPP is chunked host-side (<= spp_chunk samples per dispatch):
+            # one giant on-device fori over the frame trips the device
+            # watchdog at 128 spp (round-2 parity crash); the sample stream
+            # matches the unchunked path exactly.
             if (bk.get("use_pallas") and bk.get("use_culling")
                     and fused_path_ok(scene_params, W, H, cfg.cull_cluster)):
-                steps, final = render_accumulated_fused(
+                steps, final = render_accumulated_chunked(
                     scene_params, cam, settings, jax.random.PRNGKey(idx),
-                    W, H, spp=cli.spp, num_bounces=2, max_hits=cfg.max_hits,
+                    W, H, spp=cli.spp, spp_chunk=cli.spp_chunk, fused=True,
+                    num_bounces=2, max_hits=cfg.max_hits,
                     cull_cluster=cfg.cull_cluster,
                     max_clusters=cfg.max_clusters,
                 )
             else:
-                steps, final = render_accumulated(
+                steps, final = render_accumulated_chunked(
                     scene_params, cam, settings, jax.random.PRNGKey(idx),
-                    W, H, spp=cli.spp, num_bounces=2, max_hits=cfg.max_hits,
+                    W, H, spp=cli.spp, spp_chunk=cli.spp_chunk, fused=False,
+                    num_bounces=2, max_hits=cfg.max_hits,
                     chunk=cfg.trace_chunk, tile=cfg.ray_tile,
                     **bk,
                 )
@@ -196,8 +202,18 @@ def render_set(cli, cfg, split, iteration, views, scene_params, settings):
                         if b.ndim == 2:
                             b = b[..., None].repeat(3, -1)
                         videos[p].append(np.concatenate([a, b], axis=1))
-            print(f"[{mode}] rendered {split} view {idx + 1}/{len(views)}")
+            ovf = float(np.asarray(steps.overflow).mean())
+            overflow_fracs.append(ovf)
+            print(f"[{mode}] rendered {split} view {idx + 1}/{len(views)}"
+                  f" (cull_overflow {ovf:.4f})")
 
+    if overflow_fracs:
+        # candidate-list overflow drops hits WITHOUT tail correction
+        # (culling.py select_candidates) - record it next to the renders so
+        # silent hit loss is auditable
+        with open(os.path.join(base, "overflow.json"), "w") as f:
+            json.dump({"mean": float(np.mean(overflow_fracs)),
+                       "max": float(np.max(overflow_fracs))}, f)
     if not cli.skip_video:
         _write_videos(base, videos)
 
@@ -219,6 +235,8 @@ def parse_cli(argv=None):
     p.add_argument("--model_path", "-m", required=True)
     p.add_argument("--iteration", type=int, default=None)
     p.add_argument("--spp", type=int, default=128)
+    p.add_argument("--spp_chunk", type=int, default=16,
+                   help="max samples per device dispatch (watchdog bound)")
     p.add_argument("--split", choices=["train", "test"], default="test")
     p.add_argument("--denoise", dest="denoise", action="store_true",
                    default=None)

