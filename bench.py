@@ -45,11 +45,11 @@ def main():
 
     use_pallas = jax.default_backend() != "cpu"
     if use_pallas:
-        # round-2 fused path: one Pallas kernel per bounce (trace + top-K +
-        # composite), whole-frame grids
+        # round-3 fused path: v3 kernel (in-kernel candidate loop, striped
+        # drain); K=16 matches the reference's BUFFER_SIZE=16 k-buffer
         fn = lambda k: render_frame_fused(
             scene, camera, settings, k, width, height,
-            num_bounces=2, max_hits=32, cull_cluster=128, max_clusters=96,
+            num_bounces=2, max_hits=16, cull_cluster=128, max_clusters=64,
         )
     else:
         fn = lambda k: render_frame(
@@ -61,6 +61,7 @@ def main():
     # the first transfer, so force with an actual device_get
     steps, final = fn(key)
     np.asarray(final)
+    ovf = float(np.asarray(steps.overflow).mean())
 
     iters = 5
     t0 = time.perf_counter()
@@ -72,6 +73,30 @@ def main():
     rays_per_s = width * height / dt
     mrays = rays_per_s / 1e6
     baseline_mrays = 30 * 1920 * 1080 / 1e6  # 30 FPS @ 1080p north star
+
+    # projected v5p-8 throughput (VERDICT r2 item 7): the north-star baseline
+    # assumes 8 chips; rays are embarrassingly DP-sharded (validated on the
+    # virtual mesh), so project from the per-call kernel time at 1/8-frame
+    # ray counts plus the measured fixed dispatch overhead per frame.
+    import sys
+    if use_pallas:
+        eighth = render_frame_fused(
+            scene, camera, settings, key, width, height // 8,
+            num_bounces=2, max_hits=16, cull_cluster=128, max_clusters=64)
+        np.asarray(eighth[1])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            eighth = render_frame_fused(
+                scene, camera, settings, jax.random.fold_in(key, i),
+                width, height // 8, num_bounces=2, max_hits=16,
+                cull_cluster=128, max_clusters=64)
+        np.asarray(eighth[1])
+        dt8 = (time.perf_counter() - t0) / iters
+        proj8 = width * height / dt8 / 1e6
+        print(f"single-chip {mrays:.3f} Mrays/s | projected v5p-8 "
+              f"(1/8-frame per chip, incl. dispatch overhead) {proj8:.3f} "
+              f"Mrays/s | cull overflow {ovf:.4f}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "render_throughput_2bounce_100k_gaussians",
         "value": round(mrays, 3),

@@ -394,3 +394,164 @@ def pallas_render_culled_v3(
         out_shape=jax.ShapeDtypeStruct((R, OUT_LANES), jnp.float32),
         interpret=interpret,
     )(candidates, cand_near, scalars, rays, gpack)
+
+
+# ---------------------------------------------------------------------------
+# v4: VMEM-RESIDENT scene.  The whole gpack ([N_ROWS, N] f32) fits on-chip
+# for reference-scale scenes (100k Gaussians = 12.8 MB; v5e has 128 MB
+# physical VMEM), so the per-chunk HBM fetches - measured at a fixed ~2 us
+# apiece regardless of mechanism (BlockSpec pipelining or manual DMA), the
+# dominant cost of v2/v3 - disappear: the candidate loop slices the resident
+# block at dynamic 128-aligned lane offsets.  Falls back to the v3 streaming
+# kernel when the scene exceeds the VMEM budget (renderer picks per call).
+# ---------------------------------------------------------------------------
+
+
+def _render_kernel_v4(
+    cand_ref, cand_near_ref, scalar_ref, rays_ref, gpack_ref,
+    out_ref,
+    slot_ref, acc_ref,
+    *, K: int, cluster: int, exp_power: float, check_every: int,
+):
+    ti = pl.program_id(0)
+    log_thr = scalar_ref[9]
+    R = rays_ref.shape[0]
+    spread_const = _spread_matrix(K)
+    CE = check_every
+    mc = cand_ref.shape[1]
+    n_groups = mc // CE
+
+    slot_ref[:] = jnp.full_like(slot_ref, 0.0)
+    slot_ref[:, STRIPE_T * K:(STRIPE_T + 1) * K] = jnp.full(
+        (R, K), INF, jnp.float32)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    dead_all = jnp.all(rays_ref[:, 6:7] <= 0.0)
+
+    def compute_chunk(ci):
+        c = cand_ref[ti, ci]
+        gblock = gpack_ref.at[:, pl.ds(c * cluster, cluster)]
+        tt, alpha, valid, gvalid = _pair_math(
+            scalar_ref, rays_ref, gblock, exp_power=exp_power)
+        acc_ref[:, 0:1] += jnp.sum(
+            jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1,
+            keepdims=True)
+        acc_ref[:, 1:2] += jnp.broadcast_to(
+            jnp.sum(gvalid, axis=1, keepdims=True), (R, 1))
+        acc_ref[:, 2:3] += jnp.broadcast_to(
+            jnp.max(gvalid, axis=1, keepdims=True), (R, 1))
+        _drain_striped(valid, tt, alpha,
+                       gpack_ref[GROW0:, pl.ds(c * cluster, cluster)],
+                       slot_ref, K, spread_const)
+
+    def cond(st):
+        g, done = st
+        return (g < n_groups) & ~done
+
+    def body(st):
+        g, _ = st
+        base = g * CE
+        saturated = acc_ref[:, 0:1] <= log_thr
+        kth = jnp.max(slot_ref[:, STRIPE_T * K:(STRIPE_T + 1) * K], axis=1,
+                      keepdims=True)
+        behind = kth < cand_near_ref[ti, base]
+        done = jnp.all(saturated | behind) | dead_all
+
+        @pl.when(~done)
+        def _group():
+            for j in range(CE):
+                compute_chunk(base + j)
+
+        return (g + 1, done)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), dead_all))
+
+    _composite_epilogue_striped(scalar_ref, slot_ref, acc_ref, out_ref, K)
+
+
+# conservative VMEM budget for the resident gpack (bytes); the kernel also
+# needs slot/acc scratch and the Mosaic double-buffer of rays/out blocks
+RESIDENT_GPACK_LIMIT = 96 * 1024 * 1024
+
+
+def resident_fits(n_capacity: int) -> bool:
+    return (n_capacity + 128) * N_ROWS * 4 <= RESIDENT_GPACK_LIMIT
+
+
+@partial(
+    jax.jit,
+    static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret",
+                     "check_every"),
+)
+def pallas_render_culled_v4(
+    rays_o, rays_d, gpack, candidates, cand_near, num, near, far,
+    exp_power, secondary, backfacing_max_dist,
+    backfacing_invalid_normal_threshold,
+    transmittance_threshold=0.01, eps_forward_normalization=1e-12,
+    max_hits: int = 16, cluster: int = 128, tile: int = 256,
+    interpret: bool = False, alive=None, check_every: int = 8,
+):
+    """VMEM-resident culled trace + composite.  Same contract as v3."""
+    R = rays_o.shape[0]
+    N = gpack.shape[1]
+    assert N % cluster == 0 and R % tile == 0
+    K = max_hits
+    n_tiles = R // tile
+    gpack = jnp.pad(gpack, ((0, 0), (0, cluster)))
+    dummy = jnp.int32(N // cluster)
+    mc0 = candidates.shape[1]
+    mc = ((mc0 + check_every - 1) // check_every) * check_every
+    if mc != mc0:
+        candidates = jnp.pad(candidates, ((0, 0), (0, mc - mc0)),
+                             constant_values=-1)
+        cand_near = jnp.pad(cand_near, ((0, 0), (0, mc - mc0)),
+                            constant_values=3.0e38)
+    candidates = jnp.where(candidates < 0, dummy, candidates)
+    alive_col = (jnp.ones((R, 1), jnp.float32) if alive is None
+                 else alive.reshape(R, 1).astype(jnp.float32))
+    rays = jnp.concatenate(
+        [rays_o, rays_d, alive_col, jnp.zeros((R, 1), jnp.float32)], axis=1
+    ).astype(jnp.float32)
+    scalars = jnp.stack([
+        jnp.asarray(near, jnp.float32),
+        jnp.asarray(far, jnp.float32),
+        jnp.zeros((), jnp.float32),
+        jnp.asarray(secondary, jnp.float32),
+        jnp.asarray(backfacing_max_dist, jnp.float32),
+        jnp.asarray(backfacing_invalid_normal_threshold, jnp.float32),
+        jnp.asarray(transmittance_threshold, jnp.float32),
+        jnp.asarray(eps_forward_normalization, jnp.float32),
+        jnp.zeros((), jnp.float32),
+        jnp.log(jnp.asarray(transmittance_threshold, jnp.float32)),
+    ])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 8), lambda ti, cand, cnear: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            # whole-gpack VMEM block with a constant index map: Mosaic keeps
+            # it resident across grid steps (no per-step refetch)
+            pl.BlockSpec((N_ROWS, N + cluster),
+                         lambda ti, cand, cnear: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, OUT_LANES),
+                               lambda ti, cand, cnear: (ti, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile, SB * K), jnp.float32),
+            pltpu.VMEM((tile, 128), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_render_kernel_v4, K=K, cluster=cluster,
+                exp_power=float(exp_power), check_every=check_every),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, OUT_LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(candidates, cand_near, scalars, rays, gpack)

@@ -21,7 +21,7 @@ _KERNEL = (1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16)
 
 @partial(jax.jit, static_argnames=("iterations",))
 def _atrous(rgb, normal, depth, iterations=3, sigma_normal=0.25,
-            sigma_depth=0.5):
+            sigma_depth=0.5, spp=1.0):
     H, W, _ = rgb.shape
     out = rgb
 
@@ -72,17 +72,26 @@ def _atrous(rgb, normal, depth, iterations=3, sigma_normal=0.25,
         out = acc / jnp.maximum(wacc, 1e-8)
 
     # noisy/filtered blend: fully filtered only where the local noise is
-    # large relative to the signal
-    blend = (mad / (mad + 0.02 * (1.0 + box)))[..., None]
+    # large relative to the signal, scaled by an SPP-aware prior - Monte
+    # Carlo residual noise falls as 1/sqrt(spp) while the MAD estimate keeps
+    # reading surface TEXTURE as noise, which over-filtered converged
+    # renders (-1.1 dB @8spp, -3.5 dB @32spp in the round-2 eval grid).
+    # 1/(1+(spp/6)^2) keeps the low-spp gain (~full blend at 1-4 spp) and
+    # backs off to <1% at the reference's 128-spp eval point, making the
+    # reference protocol (128 spp + denoise, render.py:31-36) non-harmful.
+    w_spp = 1.0 / (1.0 + (spp / 6.0) ** 2)
+    blend = w_spp * (mad / (mad + 0.02 * (1.0 + box)))[..., None]
     return rgb + blend * (out - rgb)
 
 
 def atrous_denoise(rgb_hwc: np.ndarray, normal_hwc: np.ndarray,
-                   depth_hw: np.ndarray, iterations: int = 3) -> np.ndarray:
+                   depth_hw: np.ndarray, iterations: int = 3,
+                   spp: int = 1) -> np.ndarray:
     out = _atrous(
         jnp.asarray(rgb_hwc, jnp.float32),
         jnp.asarray(normal_hwc, jnp.float32),
         jnp.asarray(depth_hw, jnp.float32),
         iterations=iterations,
+        spp=jnp.float32(spp),
     )
     return np.asarray(out)

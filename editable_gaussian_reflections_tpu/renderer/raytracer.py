@@ -611,7 +611,11 @@ def render_frame_fused(
         tile_pixel_order,
     )
     from ..ops.pallas.render_kernel import unpack_composite
-    from ..ops.pallas.render_kernel_v3 import pallas_render_culled_v3
+    from ..ops.pallas.render_kernel_v3 import (
+        pallas_render_culled_v3,
+        pallas_render_culled_v4,
+        resident_fits,
+    )
     from ..ops.pallas.trace_kernel import pack_frames
 
     frames, attrs = build_frames(
@@ -696,7 +700,13 @@ def render_frame_fused(
 
         def one_call(args):
             ro, rd, al, cd, cn, nm = args
-            out = pallas_render_culled_v3(
+            # VMEM-resident kernel when the packed scene fits on-chip (no
+            # per-chunk HBM fetches - the measured v3 bottleneck); streaming
+            # v3 otherwise
+            kern = (pallas_render_culled_v4
+                    if resident_fits(scene.capacity)
+                    else pallas_render_culled_v3)
+            out = kern(
                 ro, rd, gpack, cd, cn, nm, near, camera.zfar,
                 exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
                 settings.backfacing_max_dist,

@@ -222,6 +222,7 @@ class ViewerState:
 
     def duplicate_object(self, name: str):
         self.gaussians.duplicate_object(name, DUPLICATION_OFFSET)
+        self.__dict__.pop("_raw_centers", None)  # gizmo anchors changed
 
     def reset_edits(self):
         for k in self.gaussians.edits:
@@ -230,8 +231,30 @@ class ViewerState:
 
     # serialization for the websocket protocol -------------------------
 
+    def object_centers(self) -> dict:
+        """World-space gizmo anchor per selectable object: raw xyz mean plus
+        the edit's translation (scale/rotate pivot about the center, so only
+        translate moves it - editable.py geometry semantics).  The client's
+        3D transform gizmo draws here (the imguizmo placement,
+        gaussian_viewer.py:620-789)."""
+        if not hasattr(self, "_raw_centers"):
+            xyz = np.asarray(self.gaussians.base.xyz)
+            self._raw_centers = {}
+            for key, sel in self.gaussians.selections.items():
+                if key == "everything" or not np.any(sel):
+                    continue
+                self._raw_centers[key] = xyz[np.asarray(sel)].mean(0)
+        out = {}
+        for key, c in self._raw_centers.items():
+            e = self.gaussians.edits.get(key)
+            t = (np.array([e.translate_x, e.translate_y, e.translate_z])
+                 if e is not None else 0.0)
+            out[key] = (c + t).tolist()
+        return out
+
     def get_state(self) -> dict:
         return dict(
+            object_centers=self.object_centers(),
             render_mode=self.render_mode,
             exposure=self.exposure,
             znear=self.znear,

@@ -145,6 +145,7 @@ def render_set(cli, cfg, split, iteration, views, scene_params, settings):
                     final_img,
                     np.asarray(steps.normal[0]).reshape(H, W, 3),
                     np.asarray(steps.depth[0]).reshape(H, W),
+                    spp=cli.spp,
                 )
 
             diffuse = np.clip(_np_tonemap(rgb[0]), 0, 1)
@@ -254,10 +255,11 @@ def main(argv=None):
     set_seeds()
 
     if cli.denoise is None:
-        # the a-trous denoiser gains ~+0.5 dB at low spp but softens
-        # converged high-spp renders (denoiser_eval.json) - unlike the
-        # reference's ML denoiser - so it defaults on only below 16 spp
-        cli.denoise = cli.spp < 16
+        # reference protocol: denoise always on (render.py:31-36).  The
+        # SPP-aware blend (renderer/denoise.py) backs the filter off to <1%
+        # at 128 spp, so this no longer costs converged renders
+        # (denoiser_eval.json measures the full grid)
+        cli.denoise = True
     if cli.iteration is None:
         cli.iteration = search_for_max_iteration(
             os.path.join(cli.model_path, "point_cloud")

@@ -36,7 +36,7 @@ def main(argv=None):
     from editable_gaussian_reflections_tpu.renderer.raytracer import (
         CameraParams,
         RenderSettings,
-        render_accumulated_fused,
+        render_accumulated_chunked,
     )
     from editable_gaussian_reflections_tpu.scene.gaussian_scene import (
         from_arrays,
@@ -63,9 +63,12 @@ def main(argv=None):
     H = W = args.size
 
     def render(spp, key):
-        steps, final = render_accumulated_fused(
+        # host-chunked SPP (<=16 per dispatch): 128-spp single dispatches
+        # trip the device watchdog (round-2 crash)
+        steps, final = render_accumulated_chunked(
             scene, camera, settings, jax.random.PRNGKey(key), W, H,
-            spp=spp, num_bounces=2, max_hits=32, cull_cluster=128,
+            spp=spp, spp_chunk=16, fused=True,
+            num_bounces=2, max_hits=32, cull_cluster=128,
             max_clusters=128)
         return (np.asarray(final).reshape(H, W, 3),
                 np.asarray(steps.normal[0]).reshape(H, W, 3),
@@ -81,7 +84,7 @@ def main(argv=None):
     for spp in args.spp:
         img, normal, depth = render(spp, 0)
         plain = psnr(display(img), ref)
-        den = psnr(display(atrous_denoise(img, normal, depth)), ref)
+        den = psnr(display(atrous_denoise(img, normal, depth, spp=spp)), ref)
         results[str(spp)] = dict(psnr=round(plain, 2),
                                  psnr_denoised=round(den, 2),
                                  gain_db=round(den - plain, 2))
