@@ -555,3 +555,286 @@ def pallas_render_culled_v4(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(candidates, cand_near, scalars, rays, gpack)
+
+
+# ---------------------------------------------------------------------------
+# v4 slots (training) kernel: VMEM-resident gpack + transposed frame table.
+# Same full-payload contract as render_kernel.pallas_trace_slots (depth-
+# sorted [R, SLOT_BLOCKS*K] slots consumed by unpack_slots) but with ZERO
+# per-chunk HBM fetches: gpack ([N_ROWS, N]) and fpack (pack_frame_table
+# TRANSPOSED to [FTABLE_A, N]) ride as resident whole-array VMEM blocks.
+# Payload state lives in two striped buffers (stripe j = lanes j*K..(j+1)*K):
+#   buf1 mirrors gpack rows 16..31  (normal/rgb/f0/rough + t/alpha spares)
+#   buf2 mirrors fpack rows 0..23   (mean/rot/inv/sf/opacity/scaling/quat)
+#        + the global Gaussian id in stripe 24
+# so an insertion is two one-hot MXU dots + two spreads + two masked writes.
+# ---------------------------------------------------------------------------
+
+from .render_kernel import (  # noqa: E402
+    FTABLE_A,
+    NUM_ATTR,
+    NUM_FRAME,
+    SLOT_BLOCKS,
+)
+
+SB2 = 32                   # buf2 stripes (24 frame cols + id + pads)
+STRIPE2_ID = 24
+
+
+def _spread_matrix2(K: int) -> jnp.ndarray:
+    row = jax.lax.broadcasted_iota(jnp.int32, (SB2, SB2 * K), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (SB2, SB2 * K), 1)
+    return (col // K == row).astype(jnp.float32)
+
+
+def _drain_striped_slots(valid, t, alpha, base_id, gblock_hi, fblock,
+                         slot1_ref, slot2_ref, K, sp1, sp2):
+    """Full-payload replace-max drain over the two striped buffers."""
+    R, C = t.shape
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1).astype(jnp.float32)
+    slot_idx = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1).astype(jnp.float32)
+    stripe1 = (jax.lax.broadcasted_iota(jnp.int32, (R, SB * K), 1) % K
+               ).astype(jnp.float32)
+    stripe2 = (jax.lax.broadcasted_iota(jnp.int32, (R, SB2 * K), 1) % K
+               ).astype(jnp.float32)
+    col16 = jax.lax.broadcasted_iota(jnp.int32, (R, TABLE_A), 1)
+    col32 = jax.lax.broadcasted_iota(jnp.int32, (R, SB2), 1)
+    gid = lane_ids + jax.lax.convert_element_type(base_id, jnp.float32)
+
+    tstripe = lambda: slot1_ref[:, STRIPE_T * K:(STRIPE_T + 1) * K]
+    kth0 = jnp.max(tstripe(), axis=1, keepdims=True)
+    tmask = jnp.where(valid & (t < kth0), t, INF)
+    tmin0 = jnp.min(tmask, axis=1, keepdims=True)
+
+    def cond(st):
+        return jnp.any(st[0] < st[1])
+
+    def body(st):
+        tmin, kth, tmask = st
+        ins = tmin < kth
+        is_min = (tmask <= tmin) & ins
+        id_sel = jnp.min(jnp.where(is_min, lane_ids, INF), axis=1,
+                         keepdims=True)
+        lane_oh = is_min & (lane_ids <= id_sel)
+        ohf = lane_oh.astype(jnp.float32)
+        a_val = jnp.sum(jnp.where(lane_oh, alpha, 0.0), axis=1,
+                        keepdims=True)
+        g_val = jnp.sum(jnp.where(lane_oh, gid, 0.0), axis=1, keepdims=True)
+        dn = (((1,), (1,)), ((), ()))
+        v1 = jax.lax.dot_general(ohf, gblock_hi, dn,
+                                 preferred_element_type=jnp.float32)
+        v1 = jnp.where(col16 == STRIPE_T, tmin, v1)
+        v1 = jnp.where(col16 == STRIPE_ALPHA, a_val, v1)
+        v2 = jax.lax.dot_general(ohf, fblock, dn,
+                                 preferred_element_type=jnp.float32)
+        v2 = jnp.pad(v2, ((0, 0), (0, SB2 - FTABLE_A)))
+        v2 = jnp.where(col32 == STRIPE2_ID, g_val, v2)
+        sprd1 = jax.lax.dot_general(
+            v1, sp1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sprd2 = jax.lax.dot_general(
+            v2, sp2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        slot_t = tstripe()
+        s_is_max = slot_t >= kth
+        s_win = jnp.min(jnp.where(s_is_max, slot_idx, jnp.float32(1e9)),
+                        axis=1, keepdims=True)
+        slot1_ref[:] = jnp.where((stripe1 == s_win) & ins, sprd1,
+                                 slot1_ref[:])
+        slot2_ref[:] = jnp.where((stripe2 == s_win) & ins, sprd2,
+                                 slot2_ref[:])
+
+        tmask = jnp.where(lane_oh, INF, tmask)
+        tmin = jnp.min(tmask, axis=1, keepdims=True)
+        kth = jnp.max(tstripe(), axis=1, keepdims=True)
+        return (tmin, kth, tmask)
+
+    jax.lax.while_loop(cond, body, (tmin0, kth0, tmask))
+
+
+def _slots_kernel_v4(
+    cand_ref, cand_near_ref, scalar_ref, rays_ref, gpack_ref, fpack_ref,
+    slots_out_ref, acc_out_ref,
+    slot1_ref, slot2_ref, acc_ref,
+    *, K: int, cluster: int, exp_power: float, check_every: int,
+):
+    ti = pl.program_id(0)
+    log_thr = scalar_ref[9]
+    R = rays_ref.shape[0]
+    sp1 = _spread_matrix(K)
+    sp2 = _spread_matrix2(K)
+    CE = check_every
+    mc = cand_ref.shape[1]
+    n_groups = mc // CE
+
+    slot1_ref[:] = jnp.zeros_like(slot1_ref)
+    slot1_ref[:, STRIPE_T * K:(STRIPE_T + 1) * K] = jnp.full(
+        (R, K), INF, jnp.float32)
+    slot2_ref[:] = jnp.zeros_like(slot2_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    dead_all = jnp.all(rays_ref[:, 6:7] <= 0.0)
+
+    def compute_chunk(ci):
+        c = cand_ref[ti, ci]
+        off = pl.ds(c * cluster, cluster)
+        tt, alpha, valid, gvalid = _pair_math(
+            scalar_ref, rays_ref, gpack_ref.at[:, off],
+            exp_power=exp_power)
+        acc_ref[:, 0:1] += jnp.sum(
+            jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1,
+            keepdims=True)
+        acc_ref[:, 1:2] += jnp.broadcast_to(
+            jnp.sum(gvalid, axis=1, keepdims=True), (R, 1))
+        acc_ref[:, 2:3] += jnp.broadcast_to(
+            jnp.max(gvalid, axis=1, keepdims=True), (R, 1))
+        _drain_striped_slots(
+            valid, tt, alpha, c * cluster,
+            gpack_ref[GROW0:, off], fpack_ref[:, off],
+            slot1_ref, slot2_ref, K, sp1, sp2)
+
+    def cond(st):
+        g, done = st
+        return (g < n_groups) & ~done
+
+    def body(st):
+        g, _ = st
+        base = g * CE
+        saturated = acc_ref[:, 0:1] <= log_thr
+        kth = jnp.max(slot1_ref[:, STRIPE_T * K:(STRIPE_T + 1) * K], axis=1,
+                      keepdims=True)
+        behind = kth < cand_near_ref[ti, base]
+        done = jnp.all(saturated | behind) | dead_all
+
+        @pl.when(~done)
+        def _group():
+            for j in range(CE):
+                compute_chunk(base + j)
+
+        return (g + 1, done)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), dead_all))
+
+    # depth-sort (rank-place, ties by slot index) every payload block into
+    # the [R, SLOT_BLOCKS*K] output expected by unpack_slots: out block
+    # order = [t, alpha, id, attrs(10), frames(24)].  Reuses the proven
+    # render_kernel._rank_sort_to_ref machinery.
+    from .render_kernel import _rank_sort_to_ref
+
+    def b1(j):
+        return slot1_ref[:, j * K:(j + 1) * K]
+
+    def b2(j):
+        return slot2_ref[:, j * K:(j + 1) * K]
+
+    attr_stripes = ([STRIPE_RGB + i for i in range(3)]
+                    + [STRIPE_NRM + i for i in range(3)]
+                    + [STRIPE_F0 + i for i in range(3)]
+                    + [STRIPE_ROUGH])
+    blocks = ([b1(STRIPE_T), b1(STRIPE_ALPHA), b2(STRIPE2_ID)]
+              + [b1(j) for j in attr_stripes]
+              + [b2(j) for j in range(NUM_FRAME)])
+    fills = [INF, 0.0, 0.0] + [0.0] * (NUM_ATTR + NUM_FRAME)
+    _rank_sort_to_ref(b1(STRIPE_T), blocks, fills, slots_out_ref, K)
+    R_ = rays_ref.shape[0]
+    z = jnp.zeros((R_, 1), jnp.float32)
+    acc_out_ref[:] = jnp.concatenate(
+        [acc_ref[:, 0:1], acc_ref[:, 1:2], acc_ref[:, 2:3]] + [z] * 13,
+        axis=1)
+
+
+def slots_resident_fits(n_capacity: int) -> bool:
+    """gpack + transposed frame table both resident: 2x the render budget."""
+    return (n_capacity + 128) * (N_ROWS + FTABLE_A) * 4 <= RESIDENT_GPACK_LIMIT
+
+
+@partial(
+    jax.jit,
+    static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret",
+                     "check_every"),
+)
+def pallas_trace_slots_v4(
+    rays_o, rays_d, gpack, ftable, candidates, cand_near, near, far,
+    exp_power, secondary, backfacing_max_dist,
+    backfacing_invalid_normal_threshold, transmittance_threshold=0.01,
+    max_hits: int = 32, cluster: int = 128, tile: int = 256,
+    interpret: bool = False, alive=None, check_every: int = 8,
+):
+    """VMEM-resident full-payload slots trace.  Same returns as
+    render_kernel.pallas_trace_slots: (slots [R, SLOT_BLOCKS*K], acc
+    [R, 16]), unpacked by unpack_slots.  `ftable` is pack_frame_table's
+    [N, FTABLE_A] output (transposed internally for lane slicing)."""
+    R = rays_o.shape[0]
+    N = gpack.shape[1]
+    assert N % cluster == 0 and R % tile == 0
+    K = max_hits
+    n_tiles = R // tile
+    gpack = jnp.pad(gpack, ((0, 0), (0, cluster)))
+    fpack = jnp.pad(ftable.T, ((0, 0), (0, cluster)))
+    dummy = jnp.int32(N // cluster)
+    mc0 = candidates.shape[1]
+    mc = ((mc0 + check_every - 1) // check_every) * check_every
+    if mc != mc0:
+        candidates = jnp.pad(candidates, ((0, 0), (0, mc - mc0)),
+                             constant_values=-1)
+        cand_near = jnp.pad(cand_near, ((0, 0), (0, mc - mc0)),
+                            constant_values=3.0e38)
+    candidates = jnp.where(candidates < 0, dummy, candidates)
+    alive_col = (jnp.ones((R, 1), jnp.float32) if alive is None
+                 else alive.reshape(R, 1).astype(jnp.float32))
+    rays = jnp.concatenate(
+        [rays_o, rays_d, alive_col, jnp.zeros((R, 1), jnp.float32)], axis=1
+    ).astype(jnp.float32)
+    scalars = jnp.stack([
+        jnp.asarray(near, jnp.float32),
+        jnp.asarray(far, jnp.float32),
+        jnp.zeros((), jnp.float32),
+        jnp.asarray(secondary, jnp.float32),
+        jnp.asarray(backfacing_max_dist, jnp.float32),
+        jnp.asarray(backfacing_invalid_normal_threshold, jnp.float32),
+        jnp.asarray(transmittance_threshold, jnp.float32),
+        jnp.zeros((), jnp.float32),
+        jnp.zeros((), jnp.float32),
+        jnp.log(jnp.asarray(transmittance_threshold, jnp.float32)),
+    ])
+
+    NPK = SLOT_BLOCKS * K
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 8), lambda ti, cand, cnear: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_ROWS, N + cluster),
+                         lambda ti, cand, cnear: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FTABLE_A, N + cluster),
+                         lambda ti, cand, cnear: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, NPK), lambda ti, cand, cnear: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 16), lambda ti, cand, cnear: (ti, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, SB * K), jnp.float32),
+            pltpu.VMEM((tile, SB2 * K), jnp.float32),
+            pltpu.VMEM((tile, 128), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_slots_kernel_v4, K=K, cluster=cluster,
+                exp_power=float(exp_power), check_every=check_every),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, NPK), jnp.float32),
+            jax.ShapeDtypeStruct((R, 16), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(candidates, cand_near, scalars, rays, gpack, fpack)

@@ -361,6 +361,10 @@ def render_tile_with_grads_fused(
     Same RNG stream as render_tile, so single-device equivalence holds."""
     from ..ops.culling import select_candidates
     from ..ops.pallas.render_kernel import pallas_trace_slots, unpack_slots
+    from ..ops.pallas.render_kernel_v3 import (
+        pallas_trace_slots_v4,
+        slots_resident_fits,
+    )
     from ..ops.trace import RayHits
 
     R = rays_o.shape[0]
@@ -377,15 +381,28 @@ def render_tile_with_grads_fused(
             max_clusters=max_clusters,
         )
         ovf_ray = jnp.repeat(ovf.astype(jnp.float32), cull_tile)
-        slots, acc = pallas_trace_slots(
-            rays_o, rays_d, gpack, table, ftable, cands, cnear, near, zfar,
-            exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
-            settings.backfacing_max_dist,
-            settings.backfacing_invalid_normal_threshold,
-            transmittance_threshold=settings.transmittance_threshold,
-            max_hits=K, cluster=cull_cluster, tile=cull_tile,
-            interpret=interpret, alive=alive,
-        )
+        if slots_resident_fits(n_capacity):
+            # VMEM-resident path: zero per-chunk HBM fetches (round-3 perf)
+            slots, acc = pallas_trace_slots_v4(
+                rays_o, rays_d, gpack, ftable, cands, cnear, near, zfar,
+                exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
+                settings.backfacing_max_dist,
+                settings.backfacing_invalid_normal_threshold,
+                transmittance_threshold=settings.transmittance_threshold,
+                max_hits=K, cluster=cull_cluster, tile=cull_tile,
+                interpret=interpret, alive=alive,
+            )
+        else:
+            slots, acc = pallas_trace_slots(
+                rays_o, rays_d, gpack, table, ftable, cands, cnear, near,
+                zfar, exp_power_static,
+                jnp.float32(1.0 if step > 0 else 0.0),
+                settings.backfacing_max_dist,
+                settings.backfacing_invalid_normal_threshold,
+                transmittance_threshold=settings.transmittance_threshold,
+                max_hits=K, cluster=cull_cluster, tile=cull_tile,
+                interpret=interpret, alive=alive,
+            )
         hits_d, attrs_d, frames_d = unpack_slots(slots, acc, K, rays_o,
                                                  rays_d)
         hits = RayHits(**{k: hits_d[k] for k in RayHits._fields})
