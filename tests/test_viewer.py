@@ -121,3 +121,17 @@ def test_pipelined_handler_overlaps_and_replies_in_order(state):
     h, w = state.height, state.width
     for f in frames:
         assert len(f) == h * w * 3
+
+
+def test_object_centers_follow_translation(state):
+    """The gizmo anchor (object_centers in the tick metadata) tracks the
+    object's translate edit (gaussian_viewer.py:620-789 places imguizmo at
+    the same world point)."""
+    svc = RenderService(state)
+    meta, _ = svc.tick({"viewer": {"render_mode": 0, "num_bounces": 0,
+                                   "edits": {"blob": {"translate_x": 0.0}}}})
+    c0 = np.array(meta["object_centers"]["blob"])
+    meta, _ = svc.tick({"viewer": {"render_mode": 0, "num_bounces": 0,
+                                   "edits": {"blob": {"translate_x": 0.5}}}})
+    c1 = np.array(meta["object_centers"]["blob"])
+    np.testing.assert_allclose(c1 - c0, [0.5, 0.0, 0.0], atol=1e-6)
