@@ -80,19 +80,23 @@ def main():
     # ray counts plus the measured fixed dispatch overhead per frame.
     import sys
     if use_pallas:
+        # ~1/8 frame, rounded so the rays fit ONE 65536-ray kernel tile
+        # (the 2-tile padding case trips XLA's scoped-vmem limit) and
+        # tile_pixel_order's 16-row alignment
+        h8 = max(16, min((height // 8) // 16 * 16, 65536 // width // 16 * 16))
         eighth = render_frame_fused(
-            scene, camera, settings, key, width, height // 8,
+            scene, camera, settings, key, width, h8,
             num_bounces=2, max_hits=16, cull_cluster=128, max_clusters=64)
         np.asarray(eighth[1])
         t0 = time.perf_counter()
         for i in range(iters):
             eighth = render_frame_fused(
                 scene, camera, settings, jax.random.fold_in(key, i),
-                width, height // 8, num_bounces=2, max_hits=16,
+                width, h8, num_bounces=2, max_hits=16,
                 cull_cluster=128, max_clusters=64)
         np.asarray(eighth[1])
         dt8 = (time.perf_counter() - t0) / iters
-        proj8 = width * height / dt8 / 1e6
+        proj8 = 8 * width * h8 / dt8 / 1e6
         print(f"single-chip {mrays:.3f} Mrays/s | projected v5p-8 "
               f"(1/8-frame per chip, incl. dispatch overhead) {proj8:.3f} "
               f"Mrays/s | cull overflow {ovf:.4f}", file=sys.stderr)
