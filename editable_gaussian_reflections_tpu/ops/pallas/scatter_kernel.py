@@ -157,6 +157,32 @@ def pack_scatter_payload(per_hit: dict, ids) -> jnp.ndarray:
     return payload.T
 
 
+def scatter_grads_pallas_multi(per_hit_list, ids_list, cands_list,
+                               n_capacity: int, cluster: int = 128,
+                               tile: int = 256, interpret: bool = False):
+    """Scatter SEVERAL bounces' per-hit grads in ONE kernel launch.
+
+    Payload columns concatenate along the hit axis and candidate lists along
+    the tile axis, so the grid is (num_steps * T,) and the resident [32, N]
+    accumulator is initialised/flushed once per train step instead of once
+    per bounce.  Exactly sums the per-step `scatter_grads` results."""
+    from ..render_grads import _SCATTER_FIELDS, ParamGrads
+
+    payload_t = jnp.concatenate(
+        [pack_scatter_payload(ph, ids)
+         for ph, ids in zip(per_hit_list, ids_list)], axis=1)
+    candidates = jnp.concatenate(list(cands_list), axis=0)
+    out = pallas_scatter_grads_t(payload_t, candidates, n_capacity,
+                                 cluster=cluster, tile=tile,
+                                 interpret=interpret)
+    pieces = {}
+    off = 0
+    for name, n in _SCATTER_FIELDS:
+        pieces[name] = out[off:off + n].T if n > 1 else out[off]
+        off += n
+    return ParamGrads(**pieces)
+
+
 def scatter_grads_pallas(per_hit: dict, ids, candidates, n_capacity: int,
                          cluster: int = 128, tile: int = 256,
                          interpret: bool = False):

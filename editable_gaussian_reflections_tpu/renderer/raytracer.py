@@ -365,6 +365,10 @@ def render_tile_with_grads_fused(
         pallas_trace_slots_v4,
         slots_resident_fits,
     )
+    from ..ops.pallas.scatter_kernel import (
+        scatter_fits,
+        scatter_grads_pallas_multi,
+    )
     from ..ops.trace import RayHits
 
     R = rays_o.shape[0]
@@ -412,7 +416,7 @@ def render_tile_with_grads_fused(
             settings.transmittance_threshold,
             settings.eps_forward_normalization,
         )
-        residuals.append((hits, comp, attrs_d, frames_d))
+        residuals.append((hits, comp, attrs_d, frames_d, cands))
 
         rgb_step = comp.rgb if step == 0 else comp.rgb * throughput
         nlen = jnp.linalg.norm(comp.normal, axis=-1)
@@ -448,9 +452,9 @@ def render_tile_with_grads_fused(
     final = jnp.sum(steps.rgb, axis=0)
     dLs = loss_gradients_per_step(steps, targets, settings, num_bounces)
 
-    grads = zero_grads(n_capacity, jnp.float32)
+    per_hits, ids_list, cands_list = [], [], []
     for step in range(num_steps):
-        hits, comp, attrs_d, frames_d = residuals[step]
+        hits, comp, attrs_d, frames_d, cands = residuals[step]
         dL_drgb, dL_dnormal, dL_df0, dL_drough, dL_ddepth = dLs[step]
         per_hit = backward_step(
             hits, comp,
@@ -463,7 +467,20 @@ def render_tile_with_grads_fused(
             settings.exp_power, settings.eps_scale_grad, n_capacity,
             settings.global_scale_factor,
         )
-        grads = grads + scatter_grads(per_hit, hits.ids, n_capacity)
+        per_hits.append(per_hit)
+        ids_list.append(hits.ids)
+        cands_list.append(cands)
+    if scatter_fits(n_capacity, cull_cluster):
+        # MXU scatter kernel: ONE launch covers every bounce's hits
+        # (atomicAdd analog, backward_pass.cu:209-220); exact vs the XLA
+        # segment-sum - tests/test_scatter_kernel.py
+        grads = scatter_grads_pallas_multi(
+            per_hits, ids_list, cands_list, n_capacity,
+            cluster=cull_cluster, tile=cull_tile, interpret=interpret)
+    else:
+        grads = zero_grads(n_capacity, jnp.float32)
+        for per_hit, ids in zip(per_hits, ids_list):
+            grads = grads + scatter_grads(per_hit, ids, n_capacity)
     return steps, final, grads
 
 

@@ -66,6 +66,30 @@ def test_duplicate_dummy_clusters_accumulate_zero():
         assert float(jnp.abs(g).max()) == 0.0
 
 
+def test_scatter_multi_matches_per_step_sum():
+    """The single-launch multi-bounce scatter must equal the sum of the
+    per-step XLA scatters (the train step wires all bounces into one call)."""
+    from editable_gaussian_reflections_tpu.ops.pallas.scatter_kernel import (
+        scatter_grads_pallas_multi,
+    )
+
+    N, cluster, tile, mc = 1024, 128, 256, 4
+    cases = [_random_case(s, N=N, cluster=cluster, tile=tile, mc=mc)
+             for s in (5, 6, 7)]
+    per_hits = [c[0] for c in cases]
+    ids_list = [c[1] for c in cases]
+    cands_list = [c[2] for c in cases]
+    ref = scatter_grads(per_hits[0], ids_list[0], N)
+    for ph, ids in zip(per_hits[1:], ids_list[1:]):
+        ref = ref + scatter_grads(ph, ids, N)
+    got = scatter_grads_pallas_multi(per_hits, ids_list, cands_list, N,
+                                     cluster=cluster, tile=tile,
+                                     interpret=True)
+    for name, r, g in zip(ref._fields, ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-5,
+                                   atol=2e-5, err_msg=name)
+
+
 def test_scatter_fits_budget():
     assert scatter_fits(180_000)
     assert not scatter_fits(1_000_000)
