@@ -3,11 +3,22 @@
 The reference flushes per-hit gradients into per-Gaussian buffers with
 `atomicAddX` (backward_pass.cu:209-220).  Round 1/2 replaced that with an
 XLA scatter-add (`render_grads.scatter_grads`), which costs 90-120 ms per
-65k-ray tile per bounce on v5e - the dominant cost of reference-resolution
-(768px) training.  This kernel restates the scatter as MXU matmuls against
-one-hot matrices, with the whole [32, N] gradient accumulator VMEM-RESIDENT
-across grid steps (the same constant-index-map residency trick as the v4
-render kernels, applied to an *output*):
+65k-ray tile per bounce on v5e.  This kernel restates the scatter as MXU
+matmuls against one-hot matrices, with the whole [32, N] gradient
+accumulator VMEM-RESIDENT across grid steps (the same constant-index-map
+residency trick as the v4 render kernels, applied to an *output*).
+
+MEASURED OUTCOME (round 3, v5e): at training scale (768px / 175k Gaussians
+/ max_clusters=192 / K=32) the full train step runs 12.0 s/iter through
+this kernel vs 7.35 s/iter through the XLA scatter-add, because the one-hot
+dot's FLOPs scale with the TARGET LANE WIDTH (max_clusters x cluster per
+tile) regardless of how few hits land there - ~48x redundancy over the
+useful work at that config.  The train path therefore keeps the XLA
+scatter by default (raytracer.render_tile_with_grads_fused
+use_mxu_scatter=False); the kernel remains correct (exactness tests below)
+and is the right shape only when max_clusters is small.
+
+Kernel structure:
 
   * grid is 1-D over 256-ray tiles; each tile's hits come only from its
     <=MC candidate clusters (the same `select_candidates` lists the slots

@@ -347,7 +347,7 @@ def render_tile_with_grads_fused(
     num_bounces: int, max_hits: int, *,
     gpack, table, ftable, bounds, cull_tile: int, cull_cluster: int,
     max_clusters: int, n_capacity: int, exp_power_static: float = 3.0,
-    interpret: bool = False,
+    interpret: bool = False, use_mxu_scatter: bool = False,
 ):
     """Forward + loss-fused backward via the slots kernel: ZERO XLA gathers.
 
@@ -470,10 +470,14 @@ def render_tile_with_grads_fused(
         per_hits.append(per_hit)
         ids_list.append(hits.ids)
         cands_list.append(cands)
-    if scatter_fits(n_capacity, cull_cluster):
+    if use_mxu_scatter and scatter_fits(n_capacity, cull_cluster):
         # MXU scatter kernel: ONE launch covers every bounce's hits
         # (atomicAdd analog, backward_pass.cu:209-220); exact vs the XLA
-        # segment-sum - tests/test_scatter_kernel.py
+        # segment-sum - tests/test_scatter_kernel.py.  OPT-IN: its one-hot
+        # dot work scales with max_clusters x max_hits, and at training
+        # scale (768px / 175k / mc=192 / K=32) it MEASURED 12.0 s/iter vs
+        # 7.35 for the XLA scatter-add - the wide one-hot lane dimension
+        # costs more MXU FLOPs than XLA's sort-based scatter costs HBM.
         grads = scatter_grads_pallas_multi(
             per_hits, ids_list, cands_list, n_capacity,
             cluster=cull_cluster, tile=cull_tile, interpret=interpret)
@@ -608,7 +612,7 @@ def render_frame(
     jax.jit,
     static_argnames=("width", "height", "num_bounces", "max_hits", "jitter",
                      "exp_power_static", "cull_cluster", "max_clusters",
-                     "rays_per_call", "interpret"),
+                     "rays_per_call", "interpret", "max_clusters_secondary"),
 )
 def render_frame_fused(
     scene: GaussianScene,
@@ -625,6 +629,7 @@ def render_frame_fused(
     max_clusters: int = 64,
     rays_per_call: int = 65536,
     interpret: bool = False,
+    max_clusters_secondary: int | None = None,
 ):
     """Whole-frame render where each bounce is ONE fused Pallas kernel.
 
@@ -722,9 +727,14 @@ def render_frame_fused(
         else:
             order = inv_order = None
             rays_o_k, rays_d_k, alive_k = rays_o, rays_d, alive
+        # GGX secondary rays have wider per-tile cones (cand/tile ~85 vs ~43
+        # primary on the bench room) - a per-pass cap keeps the primary pass
+        # cheap while sizing the secondary list so overflow stays ~0
+        mc_step = (max_clusters if step == 0 or max_clusters_secondary is None
+                   else max_clusters_secondary)
         cands, cnear, num, ovf = select_candidates(
             rays_o_k, rays_d_k, bounds, near, camera.zfar,
-            tile=256, max_clusters=max_clusters,
+            tile=256, max_clusters=mc_step,
         )
         ovf_ray = jnp.repeat(ovf.astype(jnp.float32), 256)
         if inv_order is not None:

@@ -1,0 +1,91 @@
+"""Sweep fused-render configs on the bench scene (VERDICT r2 item 1).
+
+For each (max_clusters_primary, max_clusters_secondary) pair, times the
+full 2-bounce 800x800 frame through render_frame_fused on hardware and
+reports Mrays/s plus the per-pass overflow fraction - the honest operating
+point is the fastest config whose overflow is ~0 (dropped clusters are NOT
+tail-corrected; ops/culling.py select_candidates).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--res", type=int, default=800)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--max_hits", type=int, default=16)
+    ap.add_argument("--cluster", type=int, default=128)
+    ap.add_argument("--configs", type=str, default="64:64,64:96,64:128,96:128")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from editable_gaussian_reflections_tpu.renderer.raytracer import (
+        CameraParams,
+        RenderSettings,
+        render_frame_fused,
+    )
+    from editable_gaussian_reflections_tpu.scene.gaussian_scene import (
+        from_arrays,
+    )
+    from editable_gaussian_reflections_tpu.utils.synth import (
+        room_camera,
+        room_scene,
+    )
+
+    W = H = args.res
+    scene = from_arrays(**room_scene(args.n), pad_multiple=2048)
+    eye, c2w = room_camera()
+    camera = CameraParams(
+        origin=jnp.asarray(eye), c2w=jnp.asarray(c2w),
+        fov_y=jnp.asarray(0.9), znear=jnp.asarray(0.05),
+        zfar=jnp.asarray(50.0),
+    )
+    settings = RenderSettings()
+    key = jax.random.PRNGKey(0)
+
+    results = []
+    for cfg in args.configs.split(","):
+        mcp, mcs = (int(x) for x in cfg.split(":"))
+        fn = lambda k: render_frame_fused(
+            scene, camera, settings, k, W, H,
+            num_bounces=2, max_hits=args.max_hits,
+            cull_cluster=args.cluster, max_clusters=mcp,
+            max_clusters_secondary=mcs,
+        )
+        steps, final = fn(key)
+        np.asarray(final)                       # force the lazy axon compile
+        ovf = np.asarray(steps.overflow)        # [num_steps, R]
+        ovf_by_step = [round(float(o.mean()), 4) for o in ovf]
+
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            steps, final = fn(jax.random.fold_in(key, i))
+        np.asarray(final)
+        dt = (time.perf_counter() - t0) / args.iters
+        mrays = W * H / dt / 1e6
+        row = dict(mc=cfg, mrays=round(mrays, 3), s=round(dt, 3),
+                   overflow=ovf_by_step)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    best = max((r for r in results if max(r["overflow"]) < 0.005),
+               key=lambda r: r["mrays"], default=None)
+    print(json.dumps({"best_honest": best}))
+
+
+if __name__ == "__main__":
+    main()
