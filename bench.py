@@ -99,7 +99,7 @@ def main():
         proj8 = 8 * width * h8 / dt8 / 1e6
         print(f"single-chip {mrays:.3f} Mrays/s | projected v5p-8 "
               f"(1/8-frame per chip, incl. dispatch overhead) {proj8:.3f} "
-              f"Mrays/s | cull overflow {ovf:.4f}", file=sys.stderr)
+              f"Mrays/s | starved rays {ovf:.4f}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "render_throughput_2bounce_100k_gaussians",

@@ -151,9 +151,12 @@ def select_candidates(
     clusters are NOT covered by the compositor's truncated-tail correction -
     full_T only accumulates log-transmittance over chunks the kernel actually
     computed (render_kernel.py full_T accumulation), so their hits are simply
-    absent.  Callers must surface the overflow flag (it rides StepOutputs
-    per ray) and size max_clusters so overflow stays ~0; bench.py and the
-    parity run assert/report it.
+    absent.  The flag returned here is the raw per-TILE overflow; the render
+    paths refine it per ray to the STARVED metric (raytracer._starved:
+    overflowed AND the ray was still accumulating at list end - saturated
+    rays truncate at the same point the reference's PPLL loop does), ride it
+    on StepOutputs, and size max_clusters so starved stays ~0; bench.py and
+    the parity run report it.
     Returns (candidates int32 [T, MC] (-1 = empty), cand_near f32 [T, MC]
     conservative near distance per candidate, num [T], overflow [T]).
     """

@@ -79,10 +79,16 @@ class StepOutputs(NamedTuple):
     total_transmittance: jnp.ndarray  # [S, R] exact full_T per step
     throughput: jnp.ndarray      # [S, R, 3]
     alive: jnp.ndarray           # [S, R] ray was active at this step
-    overflow: jnp.ndarray        # [S, R] cull-candidate-list overflow flag
-                                 # (per cull tile, broadcast per ray): hits
-                                 # beyond max_clusters were silently dropped
-                                 # this step - NOT tail-corrected
+    overflow: jnp.ndarray        # [S, R] STARVED-ray flag: the cull tile's
+                                 # candidate list overflowed max_clusters
+                                 # (farthest clusters dropped, NOT
+                                 # tail-corrected) AND this ray was still
+                                 # accumulating when the list ran out
+                                 # (full_T > transmittance_threshold).
+                                 # Rays that saturated before the dropped
+                                 # tail are unaffected - the reference
+                                 # truncates at saturation the same way
+                                 # (forward_pass.cu MAX_ITERATIONS loop)
 
 
 class RayTargets(NamedTuple):
@@ -104,6 +110,19 @@ def _mask_hits(hits, alive):
         alpha=jnp.where(valid, hits.alpha, 0.0),
         full_T=jnp.where(alive, hits.full_T, 1.0),
     )
+
+
+def _starved(ovf_ray, full_T, alive, transmittance_threshold):
+    """Refine the per-tile overflow flag to the rays it can actually bias.
+
+    A cluster dropped beyond max_clusters is the FARTHEST one in the tile's
+    list; it can only change a ray that was still accumulating (full_T above
+    the transmittance threshold) when the computed list ran out.  Saturated
+    rays truncate there regardless - identically to the reference, whose
+    PPLL loop stops at saturation (forward_pass.cu:55-83).  Dead rays
+    composite nothing."""
+    return ovf_ray * ((full_T > transmittance_threshold) & alive).astype(
+        jnp.float32)
 
 
 def render_tile(
@@ -233,7 +252,8 @@ def render_tile(
                 total_transmittance=comp.full_T,
                 throughput=next_throughput,
                 alive=alive.astype(dtype),  # float so SPP accumulation can sum
-                overflow=ovf_ray,
+                overflow=_starved(ovf_ray, comp.full_T, alive,
+                                  settings.transmittance_threshold),
             )
         )
         rays_o, rays_d = next_origin, next_dir
@@ -480,7 +500,8 @@ def render_tile_with_grads_fused(
             roughness=comp.roughness, depth=comp.depth,
             transmittance=comp.T_final, total_transmittance=comp.full_T,
             throughput=next_throughput, alive=alive.astype(jnp.float32),
-            overflow=ovf_ray,
+            overflow=_starved(ovf_ray, comp.full_T, alive,
+                              settings.transmittance_threshold),
         ))
         rays_o, rays_d = next_origin, next_dir
         throughput = next_throughput
@@ -658,7 +679,8 @@ def render_frame(
     jax.jit,
     static_argnames=("width", "height", "num_bounces", "max_hits", "jitter",
                      "exp_power_static", "cull_cluster", "max_clusters",
-                     "rays_per_call", "interpret", "max_clusters_secondary"),
+                     "rays_per_call", "interpret", "max_clusters_secondary",
+                     "cull_tile_secondary"),
 )
 def render_frame_fused(
     scene: GaussianScene,
@@ -676,6 +698,7 @@ def render_frame_fused(
     rays_per_call: int = 65536,
     interpret: bool = False,
     max_clusters_secondary: int | None = None,
+    cull_tile_secondary: int = 256,
 ):
     """Whole-frame render where each bounce is ONE fused Pallas kernel.
 
@@ -778,15 +801,21 @@ def render_frame_fused(
         # cheap while sizing the secondary list so overflow stays ~0
         mc_step = (max_clusters if step == 0 or max_clusters_secondary is None
                    else max_clusters_secondary)
+        # smaller secondary tiles tighten the cone UNION each tile pays for
+        # (the tile-granularity analog of the reference's per-ray BVH
+        # traversal) - after the Morton/direction re-sort, a secondary
+        # "tile" is just a run of coherent rays, so its size is free to
+        # shrink; primary tiles stay 16x16 pixels
+        tile_step = 256 if step == 0 else cull_tile_secondary
         cands, cnear, num, ovf = select_candidates(
             rays_o_k, rays_d_k, bounds, near, camera.zfar,
-            tile=256, max_clusters=mc_step,
+            tile=tile_step, max_clusters=mc_step,
         )
-        ovf_ray = jnp.repeat(ovf.astype(jnp.float32), 256)
+        ovf_ray = jnp.repeat(ovf.astype(jnp.float32), tile_step)
         if inv_order is not None:
             ovf_ray = ovf_ray[inv_order]
         mc = cands.shape[1]
-        tpc = rays_per_call // 256          # tiles per kernel call
+        tpc = rays_per_call // tile_step    # tiles per kernel call
 
         def one_call(args):
             ro, rd, al, cd, cn, nm = args
@@ -803,7 +832,7 @@ def render_frame_fused(
                 settings.backfacing_invalid_normal_threshold,
                 transmittance_threshold=settings.transmittance_threshold,
                 eps_forward_normalization=settings.eps_forward_normalization,
-                max_hits=max_hits, cluster=cull_cluster, tile=256,
+                max_hits=max_hits, cluster=cull_cluster, tile=tile_step,
                 interpret=interpret, alive=al,
             )
             return out
@@ -855,7 +884,8 @@ def render_frame_fused(
                 total_transmittance=comp["full_T"],
                 throughput=next_throughput,
                 alive=alive.astype(jnp.float32),
-                overflow=ovf_ray,
+                overflow=_starved(ovf_ray, comp["full_T"], alive,
+                                  settings.transmittance_threshold),
             )
         )
         rays_o, rays_d = next_origin, next_dir

@@ -126,9 +126,11 @@ def render(
         img = getattr(t, name, None)
         return None if img is None else np.asarray(img).transpose(2, 0, 1)
 
-    # fraction of (step, cull-tile) slots whose candidate list overflowed
-    # max_clusters (dropped hits are NOT tail-corrected - culling.py); the
-    # train loop and render CLI log it so silent hit loss is observable
+    # fraction of (step, ray) slots STARVED by candidate-list overflow:
+    # the tile overflowed max_clusters AND the ray was still accumulating
+    # at list end (raytracer._starved; dropped hits are NOT
+    # tail-corrected - culling.py); the train loop and render CLI log it
+    # so silent hit loss is observable
     overflow_frac = float(np.asarray(steps.overflow).mean())
     return SimpleNamespace(
         rgb=rgb,

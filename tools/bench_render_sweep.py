@@ -2,9 +2,11 @@
 
 For each (max_clusters_primary, max_clusters_secondary) pair, times the
 full 2-bounce 800x800 frame through render_frame_fused on hardware and
-reports Mrays/s plus the per-pass overflow fraction - the honest operating
-point is the fastest config whose overflow is ~0 (dropped clusters are NOT
-tail-corrected; ops/culling.py select_candidates).
+reports Mrays/s plus the per-pass STARVED-ray fraction (tile candidate list
+overflowed AND the ray was still accumulating at list end - see
+raytracer._starved); the honest operating point is the fastest config whose
+starved fraction is ~0 (dropped clusters are NOT tail-corrected;
+ops/culling.py select_candidates).
 """
 
 from __future__ import annotations
@@ -25,7 +27,9 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--max_hits", type=int, default=16)
     ap.add_argument("--cluster", type=int, default=128)
-    ap.add_argument("--configs", type=str, default="64:64,64:96,64:128,96:128")
+    ap.add_argument("--configs", type=str,
+                    default="64:64,64:96,64:128,96:128",
+                    help="comma list of mcp:mcs[:secondary_tile] triples")
     args = ap.parse_args()
 
     import numpy as np
@@ -59,12 +63,14 @@ def main():
 
     results = []
     for cfg in args.configs.split(","):
-        mcp, mcs = (int(x) for x in cfg.split(":"))
+        parts = [int(x) for x in cfg.split(":")]
+        mcp, mcs = parts[0], parts[1]
+        tile_s = parts[2] if len(parts) > 2 else 256
         fn = lambda k: render_frame_fused(
             scene, camera, settings, k, W, H,
             num_bounces=2, max_hits=args.max_hits,
             cull_cluster=args.cluster, max_clusters=mcp,
-            max_clusters_secondary=mcs,
+            max_clusters_secondary=mcs, cull_tile_secondary=tile_s,
         )
         steps, final = fn(key)
         np.asarray(final)                       # force the lazy axon compile
@@ -78,11 +84,11 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters
         mrays = W * H / dt / 1e6
         row = dict(mc=cfg, mrays=round(mrays, 3), s=round(dt, 3),
-                   overflow=ovf_by_step)
+                   starved=ovf_by_step)
         results.append(row)
         print(json.dumps(row), flush=True)
 
-    best = max((r for r in results if max(r["overflow"]) < 0.005),
+    best = max((r for r in results if max(r["starved"]) < 0.005),
                key=lambda r: r["mrays"], default=None)
     print(json.dumps({"best_honest": best}))
 

@@ -89,10 +89,14 @@ def main():
     rays_o = jnp.broadcast_to(camera.origin, (R, 3))
 
     @jax.jit
-    def run(ro, rd, near):
+    def cull(ro, rd, near):
         cands, cnear, _n, ovf = select_candidates(
             ro, rd, bounds, near, camera.zfar, tile=256,
             max_clusters=args.max_clusters)
+        return cands, cnear, ovf
+
+    @jax.jit
+    def kern(ro, rd, near, cands, cnear):
         slots, acc = pallas_trace_slots_v4(
             ro, rd, gpack, ftable, cands, cnear, near, camera.zfar,
             3.0, jnp.float32(0.0),
@@ -101,19 +105,26 @@ def main():
             transmittance_threshold=settings.transmittance_threshold,
             max_hits=args.max_hits, cluster=args.cluster, tile=256,
         )
-        return slots.sum(), ovf.mean()
+        return slots.sum()
 
     def timed(label, ro, rd, near):
-        s, ovf = run(ro, rd, near)
+        cands, cnear, ovf = cull(ro, rd, near)
+        s = kern(ro, rd, near, cands, cnear)
         np.asarray(s)
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            s, ovf = run(ro, rd, near)
+            cands, cnear, ovf = cull(ro, rd, near)
+        np.asarray(cands)
+        t_cull = (time.perf_counter() - t0) / args.iters
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            s = kern(ro, rd, near, cands, cnear)
         np.asarray(s)
-        dt = (time.perf_counter() - t0) / args.iters
-        print(json.dumps({"case": label, "ms_per_65k_dispatch":
-                          round(dt * 1e3, 1),
-                          "overflow": round(float(np.asarray(ovf)), 4)}),
+        t_kern = (time.perf_counter() - t0) / args.iters
+        print(json.dumps({"case": label,
+                          "cull_ms": round(t_cull * 1e3, 1),
+                          "kernel_ms": round(t_kern * 1e3, 1),
+                          "overflow": round(float(np.asarray(ovf).mean()), 4)}),
               flush=True)
 
     timed("primary", rays_o, dirs, camera.znear)
