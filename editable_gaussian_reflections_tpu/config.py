@@ -95,6 +95,11 @@ class Config:
     cull_tile: int = 256           # rays per culling tile (square pixel tiles)
     cull_cluster: int = 256        # gaussians per Morton cluster
     max_clusters: int = 192        # candidate clusters per tile
+    max_clusters_secondary: int = 0  # secondary-bounce candidate cap
+                                   # (0 = same as max_clusters); GGX rays
+                                   # need ~2x the primary budget
+    cull_tile_secondary: int = 256  # rays per secondary culling tile
+                                   # (smaller = tighter cone unions)
     max_hits: int = 32             # per-ray hit cap (BUFFER_SIZE*iters analog)
     trace_chunk: int = 2048        # Gaussian chunk per intersection block
     ray_tile: int = 8192           # rays per scan tile

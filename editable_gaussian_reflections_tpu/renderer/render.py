@@ -45,7 +45,11 @@ def default_backend_kwargs(cfg=None):
         kw.update(use_culling=True)
         if cfg is not None:
             kw.update(cull_tile=cfg.cull_tile, cull_cluster=cfg.cull_cluster,
-                      max_clusters=cfg.max_clusters)
+                      max_clusters=cfg.max_clusters,
+                      max_clusters_secondary=(
+                          getattr(cfg, "max_clusters_secondary", 0) or None),
+                      cull_tile_secondary=getattr(
+                          cfg, "cull_tile_secondary", 256))
     return kw
 
 
@@ -61,6 +65,9 @@ def dispatch_render_frame(scene, cam, settings, key, W, H, *, num_bounces=2,
     use_fused = kw.pop("use_fused", kw.get("use_pallas", False)
                        and kw.get("use_culling", False))
     cull_cluster = kw.get("cull_cluster", 256)
+    # fused-path-only knobs: never forwarded to render_frame
+    mc_secondary = kw.pop("max_clusters_secondary", None)
+    tile_secondary = kw.pop("cull_tile_secondary", 256)
     if use_fused and fused_path_ok(scene, W, H, cull_cluster):
         return render_frame_fused(
             scene, cam, settings, key, W, H,
@@ -68,6 +75,8 @@ def dispatch_render_frame(scene, cam, settings, key, W, H, *, num_bounces=2,
             cull_cluster=cull_cluster,
             max_clusters=kw.get("max_clusters", 64),
             interpret=kw.get("interpret", False),
+            max_clusters_secondary=mc_secondary,
+            cull_tile_secondary=tile_secondary,
         )
     return render_frame(
         scene, cam, settings, key, W, H,
