@@ -680,7 +680,7 @@ def render_frame(
     static_argnames=("width", "height", "num_bounces", "max_hits", "jitter",
                      "exp_power_static", "cull_cluster", "max_clusters",
                      "rays_per_call", "interpret", "max_clusters_secondary",
-                     "cull_tile_secondary"),
+                     "cull_tile_secondary", "cull_tile_primary"),
 )
 def render_frame_fused(
     scene: GaussianScene,
@@ -699,6 +699,7 @@ def render_frame_fused(
     interpret: bool = False,
     max_clusters_secondary: int | None = None,
     cull_tile_secondary: int = 256,
+    cull_tile_primary: int = 256,
 ):
     """Whole-frame render where each bounce is ONE fused Pallas kernel.
 
@@ -737,7 +738,11 @@ def render_frame_fused(
     # v3 kernel extracts shading attrs straight from gpack rows 16..31
     gpack = pack_frames(frames, attrs)
 
-    ray_perm, ray_inv = tile_pixel_order(height, width, 16, 16)
+    # square pixel tiles sized to the primary cull tile (256 -> 16x16,
+    # 64 -> 8x8: tighter bounding cones, fewer candidates per tile)
+    tpx = int(cull_tile_primary ** 0.5)
+    assert tpx * tpx == cull_tile_primary, cull_tile_primary
+    ray_perm, ray_inv = tile_pixel_order(height, width, tpx, tpx)
     ray_perm = jnp.asarray(ray_perm)
     ray_inv = jnp.asarray(ray_inv)
     key_jit, key_b = jax.random.split(key)
@@ -806,7 +811,7 @@ def render_frame_fused(
         # traversal) - after the Morton/direction re-sort, a secondary
         # "tile" is just a run of coherent rays, so its size is free to
         # shrink; primary tiles stay 16x16 pixels
-        tile_step = 256 if step == 0 else cull_tile_secondary
+        tile_step = cull_tile_primary if step == 0 else cull_tile_secondary
         cands, cnear, num, ovf = select_candidates(
             rays_o_k, rays_d_k, bounds, near, camera.zfar,
             tile=tile_step, max_clusters=mc_step,

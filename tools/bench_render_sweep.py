@@ -29,7 +29,11 @@ def main():
     ap.add_argument("--cluster", type=int, default=128)
     ap.add_argument("--configs", type=str,
                     default="64:64,64:96,64:128,96:128",
-                    help="comma list of mcp:mcs[:secondary_tile] triples")
+                    help="comma list of mcp:mcs[:secondary_tile[:primary_"
+                         "tile]] entries")
+    ap.add_argument("--rays_per_call", type=int, default=65536,
+                    help="shrink with small secondary tiles to keep the "
+                         "candidate lists inside the SMEM prefetch budget")
     args = ap.parse_args()
 
     import numpy as np
@@ -66,11 +70,13 @@ def main():
         parts = [int(x) for x in cfg.split(":")]
         mcp, mcs = parts[0], parts[1]
         tile_s = parts[2] if len(parts) > 2 else 256
+        tile_p = parts[3] if len(parts) > 3 else 256
         fn = lambda k: render_frame_fused(
             scene, camera, settings, k, W, H,
             num_bounces=2, max_hits=args.max_hits,
             cull_cluster=args.cluster, max_clusters=mcp,
             max_clusters_secondary=mcs, cull_tile_secondary=tile_s,
+            cull_tile_primary=tile_p, rays_per_call=args.rays_per_call,
         )
         steps, final = fn(key)
         np.asarray(final)                       # force the lazy axon compile
