@@ -44,12 +44,16 @@ def main():
     key = jax.random.PRNGKey(0)
 
     use_pallas = jax.default_backend() != "cpu"
+    # HONEST config (round 3): primary mc=96 (starved 0.03% measured),
+    # secondary mc=192; the starved-ray fraction (rays that actually missed
+    # dropped candidates - raytracer._starved) prints beside the number.
+    # K=16 matches the reference's BUFFER_SIZE=16 k-buffer.
+    MCP, MCS = 96, 192
     if use_pallas:
-        # round-3 fused path: v3 kernel (in-kernel candidate loop, striped
-        # drain); K=16 matches the reference's BUFFER_SIZE=16 k-buffer
         fn = lambda k: render_frame_fused(
             scene, camera, settings, k, width, height,
-            num_bounces=2, max_hits=16, cull_cluster=128, max_clusters=64,
+            num_bounces=2, max_hits=16, cull_cluster=128, max_clusters=MCP,
+            max_clusters_secondary=MCS,
         )
     else:
         fn = lambda k: render_frame(
@@ -86,14 +90,14 @@ def main():
         h8 = max(16, min((height // 8) // 16 * 16, 65536 // width // 16 * 16))
         eighth = render_frame_fused(
             scene, camera, settings, key, width, h8,
-            num_bounces=2, max_hits=16, cull_cluster=128, max_clusters=64)
+            num_bounces=2, max_hits=16, cull_cluster=128, max_clusters=MCP, max_clusters_secondary=MCS)
         np.asarray(eighth[1])
         t0 = time.perf_counter()
         for i in range(iters):
             eighth = render_frame_fused(
                 scene, camera, settings, jax.random.fold_in(key, i),
                 width, h8, num_bounces=2, max_hits=16,
-                cull_cluster=128, max_clusters=64)
+                cull_cluster=128, max_clusters=MCP, max_clusters_secondary=MCS)
         np.asarray(eighth[1])
         dt8 = (time.perf_counter() - t0) / iters
         proj8 = 8 * width * h8 / dt8 / 1e6

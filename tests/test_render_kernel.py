@@ -157,11 +157,13 @@ def test_render_frame_fused_matches_render_frame():
         np.asarray(final_f), np.asarray(final_ref), atol=1e-4)
 
 
-def test_render_frame_fused_secondary_tile64_matches():
-    """Shrinking the secondary cull tile (cull_tile_secondary=64) must not
-    change the render: culling is conservative per ray, so with zero
-    overflow the per-ray candidate coverage - and hence every hit - is
-    identical regardless of which rays share a tile."""
+@pytest.mark.parametrize("tile_kw", [dict(cull_tile_secondary=64),
+                                     dict(cull_tile_primary=64)])
+def test_render_frame_fused_small_tiles_match(tile_kw):
+    """Shrinking a cull tile (secondary ray runs OR primary 8x8-pixel
+    tiles) must not change the render: culling is conservative per ray, so
+    with zero overflow the per-ray candidate coverage - and hence every
+    hit - is identical regardless of which rays share a tile."""
     scene, _, _ = _room()
     eye, c2w = room_camera()
     camera = CameraParams(
@@ -177,7 +179,7 @@ def test_render_frame_fused_secondary_tile64_matches():
     steps_b, final_b = render_frame_fused(
         scene, camera, SETTINGS, key, W, H, num_bounces=2, max_hits=16,
         jitter=True, cull_cluster=256, max_clusters=8, rays_per_call=512,
-        interpret=True, cull_tile_secondary=64)
+        interpret=True, **tile_kw)
     assert float(np.asarray(steps_a.overflow).max()) == 0.0
     # different tilings enumerate a ray's candidates in a different order,
     # so the composite sums reassociate at the ulp level (measured max
