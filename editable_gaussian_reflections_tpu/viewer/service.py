@@ -34,8 +34,13 @@ class RenderService:
     """Synchronous per-tick renderer behind a websocket."""
 
     def __init__(self, state: ViewerState):
+        from collections import deque
+
         self.state = state
         self.num_connections = 0
+        # render-time history for the client's perf-monitor plot (the
+        # implot FPS panel of the reference viewer, gaussian_viewer.py)
+        self._perf_ms = deque(maxlen=120)
 
     def tick(self, request: dict) -> tuple[dict, bytes]:
         """One protocol tick: apply client state, render, return
@@ -65,10 +70,20 @@ class RenderService:
         if request.get("reset_edits"):
             st.reset_edits()
 
+        import time
+
+        t0 = time.perf_counter()
         img = st.step(camera)
+        render_ms = (time.perf_counter() - t0) * 1e3
+        self._perf_ms.append(render_ms)
         rgb8 = (np.clip(img, 0, 1) * 255).astype(np.uint8).tobytes()
         metadata = st.get_state()
         metadata["frame_shape"] = [st.height, st.width, 3]
+        metadata["perf"] = {
+            "render_ms": round(render_ms, 1),
+            "fps": round(1000.0 / max(render_ms, 1e-3), 2),
+            "history_ms": [round(v, 1) for v in self._perf_ms],
+        }
         if request.get("pick") is not None:
             x, y = request["pick"]
             metadata["picked_object"] = st.object_at_pixel(int(x), int(y))

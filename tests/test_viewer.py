@@ -60,6 +60,18 @@ def test_render_modes_produce_images(state):
             assert img.max() > 0, f"mode {RENDER_MODES[mode]} rendered black"
 
 
+def test_tick_reports_perf_history(state):
+    """Each tick carries render-time perf metadata for the client's
+    perf-monitor plot (the reference viewer's implot FPS panel analog)."""
+    svc = RenderService(state)
+    for _ in range(3):
+        meta, _ = svc.tick({"viewer": {"num_bounces": 0}})
+    perf = meta["perf"]
+    assert perf["render_ms"] > 0 and perf["fps"] > 0
+    assert len(perf["history_ms"]) == 3
+    assert perf["history_ms"][-1] == perf["render_ms"]
+
+
 def test_edit_applies_through_service(state):
     svc = RenderService(state)
     req = {"viewer": {"render_mode": 4, "num_bounces": 0}}  # roughness mode
