@@ -143,9 +143,15 @@ class ViewerState:
 
         cam = camera_params(camera, znear=self.znear, zfar=self.zfar)
         key = jax.random.PRNGKey(self._accum_count)
+        ellipsoids = RENDER_MODES[self.render_mode] == "Ellipsoids"
+        # the solid-ellipsoid preview needs no reflection bounces and
+        # saturates within a couple of hits (opacity forced to 12) - trace
+        # primary-only with a shallow k-buffer, ~3x the interactive rate of
+        # the full path (the GL instanced rasterizer analog)
         steps, final = dispatch_render_frame(
             scene, cam, settings, key, self.width, self.height,
-            num_bounces=self.num_bounces, max_hits=self.cfg.max_hits,
+            num_bounces=0 if ellipsoids else self.num_bounces,
+            max_hits=8 if ellipsoids else self.cfg.max_hits,
             chunk=self.cfg.trace_chunk, tile=self.cfg.ray_tile,
             **default_backend_kwargs(self.cfg),
         )
