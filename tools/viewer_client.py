@@ -8,6 +8,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -23,6 +24,9 @@ def main(argv=None):
     p.add_argument("--orbit_radius", type=float, default=4.0)
     p.add_argument("--edit", default=None,
                    help='JSON edit dict, e.g. \'{"obj": {"roughness_mult": 0.0}}\'')
+    p.add_argument("--fps_json", default=None,
+                   help="record a frames/sec trace through the pipelined "
+                        "service to this JSON file (skips saving PNGs)")
     args = p.parse_args(argv)
 
     import asyncio
@@ -60,11 +64,27 @@ def main(argv=None):
                 metadata = json.loads(await ws.recv())
                 _mapping = json.loads(await ws.recv())
                 frame = await ws.recv()
+                if args.fps_json:
+                    if i == 1:
+                        t_start = time.perf_counter()  # skip compile frame 0
+                    last_perf = metadata["viewer"].get("perf")
+                    continue
                 h, w, c = metadata["viewer"]["frame_shape"]
                 img = np.frombuffer(frame, np.uint8).reshape(h, w, c)
                 path = os.path.join(args.out, f"frame_{i:03d}.png")
                 Image.fromarray(img).save(path)
                 print(f"saved {path}")
+            if args.fps_json and args.frames > 1:
+                wall = time.perf_counter() - t_start
+                trace = {
+                    "frames": args.frames - 1,
+                    "wall_s": round(wall, 3),
+                    "fps_pipelined": round((args.frames - 1) / wall, 2),
+                    "server_perf": last_perf,
+                }
+                with open(args.fps_json, "w") as f:
+                    json.dump(trace, f, indent=1)
+                print(json.dumps(trace))
 
     asyncio.run(run())
 
