@@ -87,6 +87,9 @@ class RenderService:
         if request.get("pick") is not None:
             x, y = request["pick"]
             metadata["picked_object"] = st.object_at_pixel(int(x), int(y))
+        if request.get("inspect") is not None:
+            x, y = request["inspect"]
+            metadata["inspect"] = st.inspect_pixel(int(x), int(y))
         return metadata, rgb8
 
     async def _handle(self, websocket):

@@ -171,6 +171,7 @@ class ViewerState:
                 self._accum = {k: a + frame[k] for k, a in self._accum.items()}
                 self._accum_count += 1
             frame = {k: v / self._accum_count for k, v in self._accum.items()}
+        self._last_frame = frame  # G-buffer stash for inspect_pixel
 
         mode = RENDER_MODES[self.render_mode]
         if mode == "RGB":
@@ -225,6 +226,18 @@ class ViewerState:
             if 0 <= y < mask.shape[0] and 0 <= x < mask.shape[1] and mask[y, x]:
                 return key
         return None
+
+    def inspect_pixel(self, x: int, y: int) -> Optional[dict]:
+        """G-buffer values at a pixel of the LAST rendered frame - the
+        PixelInspector widget analog (viewer/widgets/inspector.py)."""
+        frame = getattr(self, "_last_frame", None)
+        if frame is None or not (0 <= y < self.height and 0 <= x < self.width):
+            return None
+        out = {}
+        for k, v in frame.items():
+            val = v[y, x]
+            out[k] = [round(float(c), 4) for c in np.atleast_1d(val)]
+        return out
 
     def duplicate_object(self, name: str):
         self.gaussians.duplicate_object(name, DUPLICATION_OFFSET)

@@ -72,6 +72,17 @@ def test_tick_reports_perf_history(state):
     assert perf["history_ms"][-1] == perf["render_ms"]
 
 
+def test_inspect_pixel_reports_gbuffer(state):
+    """The PixelInspector analog: an inspect request returns the last
+    frame's G-buffer values (rgb/depth/normal/f0/roughness) at the pixel."""
+    svc = RenderService(state)
+    meta, _ = svc.tick({"viewer": {"num_bounces": 0}, "inspect": [16, 16]})
+    ins = meta["inspect"]
+    assert set(ins) == {"rgb", "normal", "depth", "f0", "roughness"}
+    assert len(ins["rgb"]) == 3 and len(ins["depth"]) == 1
+    assert svc.tick({"viewer": {}, "inspect": [9999, 0]})[0]["inspect"] is None
+
+
 def test_edit_applies_through_service(state):
     svc = RenderService(state)
     req = {"viewer": {"render_mode": 4, "num_bounces": 0}}  # roughness mode
