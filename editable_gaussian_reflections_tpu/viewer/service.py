@@ -90,6 +90,10 @@ class RenderService:
         if request.get("inspect") is not None:
             x, y = request["inspect"]
             metadata["inspect"] = st.inspect_pixel(int(x), int(y))
+        if request.get("goto_camera") is not None:
+            i = int(request["goto_camera"])
+            if 0 <= i < len(st.dataset_cameras):
+                metadata["camera_jump"] = st.dataset_cameras[i]
         return metadata, rgb8
 
     async def _handle(self, websocket):

@@ -58,6 +58,7 @@ class ViewerState:
         self._last_pose = None
         self.is_dirty = True
         self.selection_masks: Dict[str, np.ndarray] = {}
+        self.dataset_cameras: list = []  # CameraSelect poses (from_ply)
 
     @classmethod
     def from_ply(cls, model_path: str, iteration: Optional[int] = None,
@@ -77,13 +78,29 @@ class ViewerState:
         fovy = 0.7
         tj = os.path.join(model_path, "transforms_train.json")
         width = height = cfg.resolution or 512
+        dataset_cameras = []
         if os.path.exists(tj):
             with open(tj) as f:
                 contents = json.load(f)
             fovy = contents.get("camera_angle_y", contents.get("camera_angle_x", 0.7))
+            # dataset camera poses for the CameraSelect widget analog
+            # (viewer/widgets/camera_select.py): snap the view to a
+            # training camera.  Same OpenGL->COLMAP conversion as
+            # dataset/blender.py.
+            for frame in contents.get("frames", [])[:100]:
+                c2w = np.array(frame["transform_matrix"], np.float64)
+                c2w[:3, 1:3] *= -1
+                w2c = np.linalg.inv(c2w)
+                dataset_cameras.append(dict(
+                    name=os.path.basename(str(frame.get("file_path", ""))),
+                    R=np.transpose(w2c[:3, :3]).tolist(),
+                    camera_center=c2w[:3, 3].tolist(),
+                ))
         from ..training import settings_from_config
-        return cls(scene, cfg, width, height, fovy,
-                   settings_from_config(cfg))
+        st = cls(scene, cfg, width, height, fovy,
+                 settings_from_config(cfg))
+        st.dataset_cameras = dataset_cameras
+        return st
 
     # ------------------------------------------------------------------
 
@@ -285,6 +302,7 @@ class ViewerState:
             edits={k: asdict(e) for k, e in self.gaussians.edits.items()},
             width=self.width,
             height=self.height,
+            dataset_camera_names=[c["name"] for c in self.dataset_cameras],
         )
 
     def set_state(self, state: dict):

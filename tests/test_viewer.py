@@ -83,6 +83,20 @@ def test_inspect_pixel_reports_gbuffer(state):
     assert svc.tick({"viewer": {}, "inspect": [9999, 0]})[0]["inspect"] is None
 
 
+def test_goto_dataset_camera(state):
+    """CameraSelect analog: names ride the metadata; a goto_camera request
+    answers with the stored pose."""
+    state.dataset_cameras = [dict(name="train_000", R=np.eye(3).tolist(),
+                                  camera_center=[0.0, 0.0, -2.0])]
+    svc = RenderService(state)
+    meta, _ = svc.tick({"viewer": {"num_bounces": 0}, "goto_camera": 0})
+    assert meta["dataset_camera_names"] == ["train_000"]
+    assert meta["camera_jump"]["name"] == "train_000"
+    assert meta["camera_jump"]["camera_center"] == [0.0, 0.0, -2.0]
+    meta2, _ = svc.tick({"viewer": {}, "goto_camera": 5})
+    assert "camera_jump" not in meta2
+
+
 def test_edit_applies_through_service(state):
     svc = RenderService(state)
     req = {"viewer": {"render_mode": 4, "num_bounces": 0}}  # roughness mode
