@@ -84,3 +84,35 @@ def test_tile_cone_contains_rays():
     cones = tile_cones(o, d, tile=32)
     cos_to_axis = np.asarray(jnp.sum(d * cones.axis[0][None], axis=-1))
     assert np.all(cos_to_axis >= np.asarray(cones.cos_half)[0] - 1e-6)
+
+
+def test_candidates_sorted_by_near_distance():
+    """The kernel's 'behind' early-exit (render_kernel_v3 group check)
+    assumes each tile's candidate list is non-decreasing in conservative
+    near distance - empty slots carry +inf so the property must hold
+    through the padding too."""
+    from editable_gaussian_reflections_tpu.ops.culling import (
+        cluster_bounds,
+        select_candidates,
+    )
+
+    scene = make_scene(n=240, seed=7)
+    frames, _ = build_frames(scene, 0.005, 3.0)
+    o, d = rays(r=32, seed=8)
+    bounds = cluster_bounds(frames, 16)
+    _, cand_near, _, _ = select_candidates(
+        o, d, bounds, jnp.float32(0.1), jnp.float32(100.0),
+        tile=16, max_clusters=8)
+    cn = np.asarray(cand_near)
+    assert np.all(np.diff(cn, axis=1) >= 0.0)
+
+
+def test_starved_flags_only_unsaturated_alive_rays():
+    from editable_gaussian_reflections_tpu.renderer.raytracer import _starved
+
+    ovf = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    full_T = jnp.asarray([0.5, 0.001, 0.5, 0.5])   # thr = 0.01
+    alive = jnp.asarray([True, True, False, True])
+    out = np.asarray(_starved(ovf, full_T, alive, 0.01))
+    # only ray 0: overflowed AND unsaturated AND alive
+    assert out.tolist() == [1.0, 0.0, 0.0, 0.0]
