@@ -709,9 +709,10 @@ def render_frame_fused(
     XLA.  The frame is chunked into `rays_per_call` slabs purely to respect
     the SMEM scalar-prefetch budget for the candidate lists.
 
-    Requires 16 | height, 16 | width (square pixel tiles for the bounding
-    cones) and the scene capacity padded to cull_cluster; render_frame is the
-    general fallback.
+    Requires sqrt(cull_tile_primary) | height and | width (square pixel
+    tiles for the bounding cones; 16x16 at the default 256) and the scene
+    capacity padded to cull_cluster; render_frame is the general fallback
+    (fused_path_ok gates on the default tiling).
     """
     from ..ops.culling import (
         cluster_bounds,
