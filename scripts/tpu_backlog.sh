@@ -1,0 +1,71 @@
+#!/bin/bash
+# Round-3 TPU measurement backlog, runnable unattended the moment the chip is
+# back.  One jax process at a time (axon serializes compiles across
+# processes); every step logs under artifacts/r3_backlog/.
+#
+# Steps:
+#  1. render-kernel config sweep (honest starved-aware configs)
+#  2. bench.py  -> BENCH_R3 numbers
+#  3. train-step configs (K16 x mc128/mc192 at cluster=128)
+#  4. quality A/B: 1000 iters at parity defaults vs the fast config
+#  5. viewer FPS trace through the pipelined websocket service
+#  6. eval_sweep at the parity checkpoint with max_hits=16
+set -x
+cd "$(dirname "$0")/.."
+OUT=artifacts/r3_backlog
+mkdir -p "$OUT"
+MODEL=${MODEL:-/tmp/parity_model_r3}
+DATASET=${DATASET:-/tmp/parity_dataset}
+
+run() {  # run NAME TIMEOUT CMD... - never abort the chain on one failure
+  local name=$1 t=$2; shift 2
+  echo "=== $name: $* ===" | tee -a "$OUT/backlog.log"
+  ( timeout "$t" "$@" ) >"$OUT/$name.log" 2>&1
+  echo "=== $name rc=$? ===" | tee -a "$OUT/backlog.log"
+}
+
+# 0. device probe - bail early if the TPU is still down
+run probe 300 python -c "import jax; print(jax.devices())"
+grep -q "rc=0" <(tail -1 "$OUT/backlog.log") || { echo "TPU DOWN"; exit 1; }
+
+# 1. render sweep
+run render_sweep 3000 python tools/bench_render_sweep.py \
+  --configs "96:192:256,96:192:128,96:160:64,96:256:128"
+
+# 2. bench.py (honest 96:192 config)
+run bench 1800 python bench.py
+
+# 3. train-step configs
+run train_step_k16_mc128_c128 1800 python tools/bench_train_step.py \
+  --max_hits 16 --max_clusters 128 --cull_cluster 128
+run train_step_k16_mc192_c128 1800 python tools/bench_train_step.py \
+  --max_hits 16 --max_clusters 192 --cull_cluster 128
+
+# 4. quality A/B (1000 iters each, 256px parity dataset)
+if [ -d "$DATASET" ]; then
+  run ab_default 7200 env NO_WORKERS=1 python train.py -s "$DATASET" \
+    -m /tmp/ab_default -r 256 --iterations 1000 --no_bounces_until_iter 750 \
+    --test_iterations 1000 --save_iterations 1000 --backend pallas
+  run ab_fast 7200 env NO_WORKERS=1 python train.py -s "$DATASET" \
+    -m /tmp/ab_fast -r 256 --iterations 1000 --no_bounces_until_iter 750 \
+    --test_iterations 1000 --save_iterations 1000 --backend pallas \
+    --max_hits 16 --max_clusters 96
+  cp /tmp/ab_default/test_validation_scores.csv "$OUT/ab_default_scores.csv" || true
+  cp /tmp/ab_fast/test_validation_scores.csv "$OUT/ab_fast_scores.csv" || true
+fi
+
+# 5. viewer FPS trace (service in background, client drives 30 frames)
+if [ -d "$MODEL" ]; then
+  ( timeout 1200 python -m editable_gaussian_reflections_tpu.viewer.service \
+      -m "$MODEL" -r 256 >"$OUT/service.log" 2>&1 & echo $! > /tmp/svc.pid )
+  sleep 420  # compile
+  run viewer_fps 600 python tools/viewer_client.py --frames 30 \
+    --fps_json "$OUT/viewer_fps.json" --out /tmp/viewer_frames
+  kill "$(cat /tmp/svc.pid)" 2>/dev/null
+  # 6. eval_sweep at max_hits=16 (K-sensitivity at inference)
+  run eval_sweep_k16 3600 python tools/eval_sweep.py -m "$MODEL" \
+    --spp 1 16 --max_hits 16
+  cp "$MODEL"/eval_sweep*.json "$OUT/" 2>/dev/null || true
+fi
+
+echo DONE | tee -a "$OUT/backlog.log"
