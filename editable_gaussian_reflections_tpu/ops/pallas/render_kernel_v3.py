@@ -412,6 +412,7 @@ def _render_kernel_v4(
     out_ref,
     slot_ref, acc_ref,
     *, K: int, cluster: int, exp_power: float, check_every: int,
+    debug_mode: int = 0,
 ):
     ti = pl.program_id(0)
     log_thr = scalar_ref[9]
@@ -440,9 +441,11 @@ def _render_kernel_v4(
             jnp.sum(gvalid, axis=1, keepdims=True), (R, 1))
         acc_ref[:, 2:3] += jnp.broadcast_to(
             jnp.max(gvalid, axis=1, keepdims=True), (R, 1))
-        _drain_striped(valid, tt, alpha,
-                       gpack_ref[GROW0:, pl.ds(c * cluster, cluster)],
-                       slot_ref, K, spread_const)
+        if debug_mode != 1:  # 1 = pair math only (perf attribution)
+            _drain_striped(valid, tt, alpha,
+                           gpack_ref[GROW0:, pl.ds(c * cluster, cluster)],
+                           slot_ref, K, spread_const,
+                           max_iters=(1 if debug_mode == 2 else 0))
 
     def cond(st):
         g, done = st
@@ -481,7 +484,7 @@ def resident_fits(n_capacity: int) -> bool:
 @partial(
     jax.jit,
     static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret",
-                     "check_every"),
+                     "check_every", "debug_mode"),
 )
 def pallas_render_culled_v4(
     rays_o, rays_d, gpack, candidates, cand_near, num, near, far,
@@ -490,6 +493,7 @@ def pallas_render_culled_v4(
     transmittance_threshold=0.01, eps_forward_normalization=1e-12,
     max_hits: int = 16, cluster: int = 128, tile: int = 256,
     interpret: bool = False, alive=None, check_every: int = 8,
+    debug_mode: int = 0,
 ):
     """VMEM-resident culled trace + composite.  Same contract as v3."""
     R = rays_o.shape[0]
@@ -548,7 +552,8 @@ def pallas_render_culled_v4(
     )
     return pl.pallas_call(
         partial(_render_kernel_v4, K=K, cluster=cluster,
-                exp_power=float(exp_power), check_every=check_every),
+                exp_power=float(exp_power), check_every=check_every,
+                debug_mode=debug_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, OUT_LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(
