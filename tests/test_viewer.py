@@ -172,3 +172,31 @@ def test_object_centers_follow_translation(state):
                                    "edits": {"blob": {"translate_x": 0.5}}}})
     c1 = np.array(meta["object_centers"]["blob"])
     np.testing.assert_allclose(c1 - c0, [0.5, 0.0, 0.0], atol=1e-6)
+
+
+def test_local_orbit_camera_convention(state):
+    """LOCAL mode's OrbitCamera emits the same pose convention the web
+    client does (viewer/local.py OrbitCamera vs client.html camPose): an
+    orbit aimed at the blob cluster must actually render it."""
+    from editable_gaussian_reflections_tpu.viewer.local import OrbitCamera
+
+    cam = OrbitCamera(target=np.array([0.0, 0.0, 4.0]), dist=4.0,
+                      yaw=0.0, pitch=0.0, fovy=0.9)
+    d = cam.camera_dict()
+    R = np.asarray(d["R"])
+    np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-12)  # orthonormal
+    np.testing.assert_allclose(d["camera_center"], [0, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(R[:, 2], [0, 0, 1], atol=1e-12)  # fwd +z
+
+    svc = RenderService(state)
+    meta, frame = svc.tick({"viewer": {"render_mode": 0, "num_bounces": 0},
+                            "camera": d})
+    img = np.frombuffer(frame, np.uint8)
+    assert img.max() > 0, "orbit camera aimed at the scene rendered black"
+
+    # yawing 180 degrees looks away from the blobs -> black frame
+    cam2 = OrbitCamera(target=np.array([0.0, 0.0, -4.0]), dist=4.0,
+                       yaw=np.pi, pitch=0.0, fovy=0.9)
+    _, frame2 = svc.tick({"viewer": {"render_mode": 0, "num_bounces": 0},
+                          "camera": cam2.camera_dict()})
+    assert np.frombuffer(frame2, np.uint8).max() == 0
