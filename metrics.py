@@ -37,6 +37,48 @@ def ssim_metric(pred, gt, C1=0.01**2, C2=0.03**2, win=11, sigma=1.5):
     return float(np.mean([chan(pred[..., c], gt[..., c]) for c in range(pred.shape[-1])]))
 
 
+def _ssim_cs(pred, gt, C1=0.01**2, C2=0.03**2, win=11, sigma=1.5):
+    """Per-channel mean (ssim, contrast-structure) pair for MS-SSIM."""
+    from scipy.ndimage import gaussian_filter
+
+    tr = (win // 2) / sigma
+    s_vals, cs_vals = [], []
+    for c in range(pred.shape[-1]):
+        p, g = pred[..., c], gt[..., c]
+        mu_p = gaussian_filter(p, sigma, truncate=tr)
+        mu_g = gaussian_filter(g, sigma, truncate=tr)
+        mu_p2, mu_g2, mu_pg = mu_p**2, mu_g**2, mu_p * mu_g
+        sp = gaussian_filter(p * p, sigma, truncate=tr) - mu_p2
+        sg = gaussian_filter(g * g, sigma, truncate=tr) - mu_g2
+        spg = gaussian_filter(p * g, sigma, truncate=tr) - mu_pg
+        cs = (2 * spg + C2) / (sp + sg + C2)
+        lum = (2 * mu_pg + C1) / (mu_p2 + mu_g2 + C1)
+        s_vals.append(np.mean(lum * cs))
+        cs_vals.append(np.mean(cs))
+    return float(np.mean(s_vals)), float(np.mean(cs_vals))
+
+
+MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)  # Wang et al. 2003
+
+
+def msssim_metric(pred, gt):
+    """Multi-scale SSIM: a REAL weight-free perceptual metric shipped
+    alongside the lpips_rand substitute (pretrained-VGG LPIPS needs weights
+    this environment cannot fetch).  Standard 5-scale protocol: contrast-
+    structure at every scale, luminance only at the coarsest, 2x average-
+    pool between scales."""
+    vals = []
+    p, g = pred, gt
+    for i, w in enumerate(MSSSIM_WEIGHTS):
+        s, cs = _ssim_cs(p, g)
+        vals.append(max(s if i == len(MSSSIM_WEIGHTS) - 1 else cs, 1e-6))
+        if i < len(MSSSIM_WEIGHTS) - 1:
+            h, wd = (p.shape[0] // 2) * 2, (p.shape[1] // 2) * 2
+            p = p[:h, :wd].reshape(h // 2, 2, wd // 2, 2, -1).mean((1, 3))
+            g = g[:h, :wd].reshape(h // 2, 2, wd // 2, 2, -1).mean((1, 3))
+    return float(np.prod([v**w for v, w in zip(vals, MSSSIM_WEIGHTS)]))
+
+
 class RandomVGGLPIPS:
     """Offline-capable LPIPS substitute (reference metrics.py:31-73 uses
     torchmetrics LPIPS with pretrained VGG weights, which cannot be fetched
@@ -147,6 +189,8 @@ def main(argv=None):
                 scores[rp]["psnr"] += psnr_metric(pred, gt)
             if "ssim" in args.metrics:
                 scores[rp]["ssim"] += ssim_metric(pred, gt)
+            if "msssim" in args.metrics:
+                scores[rp]["msssim"] += msssim_metric(pred, gt)
             if lpips is not None:
                 scores[rp]["lpips"] += lpips(pred, gt)
 

@@ -38,3 +38,17 @@ def test_lpips_deterministic_weights():
     a = RandomVGGLPIPS().weights[0][0]
     b = RandomVGGLPIPS().weights[0][0]
     np.testing.assert_array_equal(a, b)
+
+
+def test_msssim_basics():
+    from metrics import msssim_metric
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (96, 96, 3)).astype(np.float32)
+    assert msssim_metric(img, img) > 0.999
+    noisy = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1).astype(np.float32)
+    v = msssim_metric(img, noisy)
+    assert 0.0 < v < 0.99
+    # less noise -> higher score (monotone ordering)
+    mild = np.clip(img + rng.normal(0, 0.05, img.shape), 0, 1).astype(np.float32)
+    assert msssim_metric(img, mild) > v
