@@ -28,7 +28,8 @@ from ..scene.cameras import MiniCam
 from ..scene.editable import Edit, EditableGaussianScene
 from ..scene.scene import load_scene_ply, search_for_max_iteration
 
-RENDER_MODES = ["RGB", "Normals", "Depth", "F0", "Roughness", "Ellipsoids"]
+RENDER_MODES = ["RGB", "Normals", "Depth", "F0", "Roughness", "Ellipsoids",
+                "Points"]
 DUPLICATION_OFFSET = 0.08
 
 
@@ -147,6 +148,19 @@ class ViewerState:
                 opacity=jnp.full((n,), 12.0, jnp.float32),
                 diffuse=jnp.asarray(colors),
             )
+        elif RENDER_MODES[self.render_mode] == "Points":
+            # point-cloud debug view (PointRenderer/SphereViewer widget
+            # analog, viewer/widgets/point_renderer.py): every Gaussian as a
+            # tiny saturated isotropic sphere keeping its diffuse color
+            import jax.numpy as jnp
+            n = scene.capacity
+            xyz = np.asarray(scene.xyz)
+            extent = float(np.linalg.norm(xyz.max(0) - xyz.min(0))) or 1.0
+            radius = max(0.004 * extent, 1e-4)
+            scene = scene._replace(
+                opacity=jnp.full((n,), 12.0, jnp.float32),
+                scaling=jnp.full((n, 3), np.log(radius), jnp.float32),
+            )
         if self.scaling_modifier != 1.0:
             settings = self.settings._replace(
                 global_scale_factor=self.scaling_modifier)
@@ -160,7 +174,7 @@ class ViewerState:
 
         cam = camera_params(camera, znear=self.znear, zfar=self.zfar)
         key = jax.random.PRNGKey(self._accum_count)
-        ellipsoids = RENDER_MODES[self.render_mode] == "Ellipsoids"
+        ellipsoids = RENDER_MODES[self.render_mode] in ("Ellipsoids", "Points")
         # the solid-ellipsoid preview needs no reflection bounces and
         # saturates within a couple of hits (opacity forced to 12) - trace
         # primary-only with a shallow k-buffer, ~3x the interactive rate of
@@ -206,7 +220,7 @@ class ViewerState:
             img = frame["f0"] * self.exposure
         elif mode == "Roughness":
             img = np.repeat(frame["roughness"], 3, -1)
-        else:  # Ellipsoids: the hashed colors come through the rgb channel
+        else:  # Ellipsoids/Points: the preview colors ride the rgb channel
             img = frame["rgb"]
         return np.clip(img, 0.0, 1.0)
 
