@@ -921,7 +921,9 @@ def fused_path_ok(scene: GaussianScene, width: int, height: int,
     jax.jit,
     static_argnames=("width", "height", "num_bounces", "max_hits", "jitter",
                      "spp", "exp_power_static", "cull_cluster",
-                     "max_clusters", "rays_per_call", "interpret"),
+                     "max_clusters", "rays_per_call", "interpret",
+                     "max_clusters_secondary", "cull_tile_secondary",
+                     "cull_tile_primary"),
 )
 def render_accumulated_fused(
     scene: GaussianScene,
@@ -940,6 +942,9 @@ def render_accumulated_fused(
     rays_per_call: int = 65536,
     interpret: bool = False,
     key_offset=0,
+    max_clusters_secondary: int | None = None,
+    cull_tile_secondary: int = 256,
+    cull_tile_primary: int = 256,
 ):
     """SPP accumulation over the fused whole-frame path (one HLO instance).
 
@@ -952,7 +957,8 @@ def render_accumulated_fused(
         return render_frame_fused.__wrapped__(
             scene, camera, settings, k, width, height, num_bounces, max_hits,
             jitter, exp_power_static, cull_cluster, max_clusters,
-            rays_per_call, interpret,
+            rays_per_call, interpret, max_clusters_secondary,
+            cull_tile_secondary, cull_tile_primary,
         )
 
     def body(i, acc):
@@ -1021,7 +1027,8 @@ def render_accumulated_chunked(
     static_argnames=("width", "height", "num_bounces", "max_hits", "chunk",
                      "tile", "jitter", "spp", "use_pallas",
                      "exp_power_static", "use_culling", "cull_tile",
-                     "cull_cluster", "max_clusters", "interpret"),
+                     "cull_cluster", "max_clusters", "interpret",
+                     "max_clusters_secondary", "cull_tile_secondary"),
 )
 def render_accumulated(
     scene: GaussianScene,
@@ -1043,13 +1050,21 @@ def render_accumulated(
     cull_cluster: int = 256,
     max_clusters: int = 192,
     interpret: bool = False,
+    max_clusters_secondary: int | None = None,
+    cull_tile_secondary: int = 256,
 ):
     """SPP accumulation: repeated jittered 1-spp renders averaged on device.
 
     The TPU equivalent of the reference's in-kernel accumulators
     (framebuffer.h:104-128 + render.py:197-206): a fori_loop keeps ONE render
     instance in the HLO regardless of spp.
+
+    `max_clusters_secondary`/`cull_tile_secondary` are fused-path-only knobs
+    accepted here so `default_backend_kwargs(cfg)` splats into either path;
+    the non-fused renderer re-culls every bounce with the single
+    cull_tile/max_clusters budget, so they are ignored.
     """
+    del max_clusters_secondary, cull_tile_secondary
     def body(i, acc):
         steps, final = render_frame.__wrapped__(
             scene, camera, settings, jax.random.fold_in(key, i),

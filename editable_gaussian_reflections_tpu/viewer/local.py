@@ -219,11 +219,16 @@ class LocalViewer:
     # -- render loop ---------------------------------------------------------
 
     def _tick_request(self) -> dict:
+        import copy
+
         self._collect_edits()
-        req = dict(viewer=self.viewer_state, camera=self.cam.camera_dict())
         self.viewer_state["exposure"] = float(self.exposure.get())
         self.viewer_state["num_bounces"] = int(self.bounces.get())
         self.viewer_state["znear"] = float(self.znear.get())
+        # deep-copy: the worker thread iterates this dict inside set_state
+        # while the Tk main thread keeps mutating the live edits
+        req = dict(viewer=copy.deepcopy(self.viewer_state),
+                   camera=self.cam.camera_dict())
         req.update(self._pending)
         self._pending = {}
         return req

@@ -128,6 +128,10 @@ def render_set(cli, cfg, split, iteration, views, scene_params, settings):
                     num_bounces=2, max_hits=cfg.max_hits,
                     cull_cluster=cfg.cull_cluster,
                     max_clusters=cfg.max_clusters,
+                    max_clusters_secondary=(
+                        getattr(cfg, "max_clusters_secondary", 0) or None),
+                    cull_tile_secondary=getattr(
+                        cfg, "cull_tile_secondary", 256),
                 )
             else:
                 steps, final = render_accumulated_chunked(

@@ -289,3 +289,47 @@ def test_chunked_spp_matches_single_dispatch():
             atol=1e-5, err_msg=f)
     np.testing.assert_allclose(np.asarray(final_c), np.asarray(final_1),
                                atol=1e-5)
+
+
+def test_backend_kwargs_splat_into_every_accumulation_path():
+    """default_backend_kwargs emits fused-only knobs
+    (max_clusters_secondary / cull_tile_secondary); every accumulation entry
+    point must accept the full splat - the non-fused path ignores them
+    (regression: tools/render_novel_views.py crashed with TypeError on any
+    culled TPU config)."""
+    from editable_gaussian_reflections_tpu.renderer.raytracer import (
+        render_accumulated,
+        render_accumulated_chunked,
+        render_accumulated_fused,
+    )
+
+    scene, _, _ = _room()
+    eye, c2w = room_camera()
+    camera = CameraParams(
+        origin=jnp.asarray(eye), c2w=jnp.asarray(c2w),
+        fov_y=jnp.asarray(0.9), znear=jnp.asarray(0.05),
+        zfar=jnp.asarray(50.0))
+    key = jax.random.PRNGKey(7)
+    W = H = 32
+    sec = dict(max_clusters_secondary=8, cull_tile_secondary=256)
+
+    # non-fused: knobs accepted and ignored (identical output)
+    base_kw = dict(num_bounces=1, max_hits=8, chunk=64, tile=W * H)
+    _, f0 = render_accumulated(scene, camera, SETTINGS, key, W, H, spp=2,
+                               **base_kw)
+    _, f1 = render_accumulated(scene, camera, SETTINGS, key, W, H, spp=2,
+                               **base_kw, **sec)
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+
+    # fused: knobs forwarded to render_frame_fused (interpret mode)
+    fkw = dict(num_bounces=1, max_hits=8, cull_cluster=256, max_clusters=8,
+               rays_per_call=512, interpret=True)
+    _, ff = render_accumulated_fused(scene, camera, SETTINGS, key, W, H,
+                                     spp=1, **fkw, **sec)
+    assert np.isfinite(np.asarray(ff)).all()
+
+    # chunked wrapper passes them through both branches
+    _, fc = render_accumulated_chunked(scene, camera, SETTINGS, key, W, H,
+                                       spp=2, spp_chunk=1, fused=False,
+                                       **base_kw, **sec)
+    assert np.isfinite(np.asarray(fc)).all()

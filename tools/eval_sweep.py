@@ -76,14 +76,25 @@ def main(argv=None):
             for idx, view in enumerate(views):
                 cam = camera_params(view, znear=args.znear, zfar=view.zfar)
                 H, W = view.image_height, view.image_width
+                # same shape gate render.py uses (fused needs 16x16 pixel
+                # tiles + cluster-padded capacity; fall back otherwise)
+                from editable_gaussian_reflections_tpu.renderer.raytracer \
+                    import fused_path_ok
+                fused = bool(bk.get("use_pallas") and bk.get("use_culling")
+                             and fused_path_ok(scene.gaussians, W, H,
+                                               cfg.cull_cluster))
                 steps, final = render_accumulated_chunked(
                     scene.gaussians, cam, settings, jax.random.PRNGKey(idx),
                     W, H, spp=spp, spp_chunk=16,
-                    fused=bool(bk.get("use_pallas") and bk.get("use_culling")),
+                    fused=fused,
                     num_bounces=2, max_hits=cfg.max_hits,
                     **({"cull_cluster": cfg.cull_cluster,
-                        "max_clusters": cfg.max_clusters}
-                       if bk.get("use_pallas") and bk.get("use_culling")
+                        "max_clusters": cfg.max_clusters,
+                        "max_clusters_secondary": (
+                            getattr(cfg, "max_clusters_secondary", 0) or None),
+                        "cull_tile_secondary": getattr(
+                            cfg, "cull_tile_secondary", 256)}
+                       if fused
                        else {"chunk": cfg.trace_chunk, "tile": cfg.ray_tile,
                              **bk}),
                 )
