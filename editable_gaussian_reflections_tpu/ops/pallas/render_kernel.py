@@ -84,7 +84,15 @@ def _pair_math(scalar_ref, rays_ref, gpack_ref, *, exp_power: float):
     """Closed-form max-response intersection over the [R, C] pair block.
 
     Returns (t, alpha, valid) - the minimal quantities the composite path
-    needs (no gaussval/local_hit; those are backward-only residuals)."""
+    needs (no gaussval/local_hit; those are backward-only residuals).
+
+    Measured dead end (round 3, do not retry): bfloat16 for the transforms /
+    dot products (hoping for 2x VPU lane packing).  sq = dot_oo -
+    dot_ol^2/dot_ll cancels O(|lo|^2) ~ 1e4 intermediates (camera distance /
+    Gaussian scale, squared) down to the O(1) miss distance, so bf16's 2^-8
+    input rounding lands as O(10) absolute error on the exponent: 27.7 dB
+    vs the f32 render even primary-only.  No reformulation avoids it -
+    resolving a small miss distance from far away inherently needs f32."""
     near = scalar_ref[0]
     far = scalar_ref[1]
     secondary = scalar_ref[3]
