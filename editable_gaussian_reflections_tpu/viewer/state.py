@@ -53,6 +53,13 @@ class ViewerState:
         self.denoise = False
         self.num_bounces = 2
         self.spp = 1
+        # interactive preview downscale (1/2/4): the client drops to s>1
+        # during camera/gizmo drags (render cost falls ~s^2; the frame is
+        # nearest-upscaled back to width x height so the protocol shape,
+        # pick/inspect coordinates, and accumulation buffers never change).
+        # The reference gets the same effect statically via cfg.resolution
+        # downsampling at viewer start (gaussian_viewer.py:146-147).
+        self.preview_scale = 1
 
         self._accum = None
         self._accum_count = 0
@@ -108,7 +115,8 @@ class ViewerState:
     def _pose_key(self, camera: MiniCam):
         return (np.asarray(camera.R).tobytes(),
                 np.asarray(camera.camera_center).tobytes(),
-                self.znear, self.zfar, self.render_mode, self.num_bounces)
+                self.znear, self.zfar, self.render_mode, self.num_bounces,
+                self.preview_scale)
 
     def _check_dirty(self, camera: MiniCam):
         scene_dirty = self.gaussians.dirty_check(self.scaling_modifier)
@@ -175,18 +183,24 @@ class ViewerState:
         cam = camera_params(camera, znear=self.znear, zfar=self.zfar)
         key = jax.random.PRNGKey(self._accum_count)
         ellipsoids = RENDER_MODES[self.render_mode] in ("Ellipsoids", "Points")
+        # drag-time preview downscale: both backends need 16 | H, W (fused
+        # pixel tiling / cull-tile divisibility), so only drop when the
+        # reduced frame still qualifies
+        s = int(self.preview_scale)
+        if s not in (2, 4) or self.height % (16 * s) or self.width % (16 * s):
+            s = 1
+        H, W = self.height // s, self.width // s
         # the solid-ellipsoid preview needs no reflection bounces and
         # saturates within a couple of hits (opacity forced to 12) - trace
         # primary-only with a shallow k-buffer, ~3x the interactive rate of
         # the full path (the GL instanced rasterizer analog)
         steps, final = dispatch_render_frame(
-            scene, cam, settings, key, self.width, self.height,
+            scene, cam, settings, key, W, H,
             num_bounces=0 if ellipsoids else self.num_bounces,
             max_hits=8 if ellipsoids else self.cfg.max_hits,
             chunk=self.cfg.trace_chunk, tile=self.cfg.ray_tile,
             **default_backend_kwargs(self.cfg),
         )
-        H, W = self.height, self.width
         frame = dict(
             rgb=np.asarray(final).reshape(H, W, 3),
             normal=np.asarray(steps.normal[0]).reshape(H, W, 3),
@@ -194,6 +208,10 @@ class ViewerState:
             f0=np.asarray(steps.f0[0]).reshape(H, W, 3),
             roughness=np.asarray(steps.roughness[0]).reshape(H, W, 1),
         )
+        if s > 1:  # nearest-upscale so downstream shapes stay full-res
+            frame = {k: np.repeat(np.repeat(v, s, 0), s, 1)
+                     for k, v in frame.items()}
+            H, W = self.height, self.width
         if self.accumulate_samples:
             if self._accum is None:
                 self._accum = frame
@@ -312,6 +330,7 @@ class ViewerState:
             scaling_modifier=self.scaling_modifier,
             accumulate_samples=self.accumulate_samples,
             num_bounces=self.num_bounces,
+            preview_scale=self.preview_scale,
             objects=list(self.gaussians.edits.keys()),
             edits={k: asdict(e) for k, e in self.gaussians.edits.items()},
             width=self.width,
@@ -321,7 +340,8 @@ class ViewerState:
 
     def set_state(self, state: dict):
         for k in ("render_mode", "exposure", "znear", "zfar",
-                  "scaling_modifier", "accumulate_samples", "num_bounces"):
+                  "scaling_modifier", "accumulate_samples", "num_bounces",
+                  "preview_scale"):
             if k in state:
                 setattr(self, k, state[k])
         for name, e in state.get("edits", {}).items():

@@ -200,3 +200,27 @@ def test_local_orbit_camera_convention(state):
     _, frame2 = svc.tick({"viewer": {"render_mode": 0, "num_bounces": 0},
                           "camera": cam2.camera_dict()})
     assert np.frombuffer(frame2, np.uint8).max() == 0
+
+
+def test_preview_scale_keeps_protocol_shape(state):
+    """Drag-time preview downscale (client fast-drag): the server renders at
+    width/s x height/s but nearest-upscales back, so frame_shape, pick and
+    inspect coordinates, and the accumulation buffers never change."""
+    svc = RenderService(state)
+    meta, frame = svc.tick({"viewer": {"render_mode": 0, "num_bounces": 0,
+                                       "preview_scale": 2,
+                                       "accumulate_samples": False}})
+    assert meta["frame_shape"] == [32, 32, 3]
+    assert meta["preview_scale"] == 2
+    img = np.frombuffer(frame, np.uint8).reshape(32, 32, 3)
+    # nearest-upscaled from 16x16: every 2x2 block is constant
+    assert np.array_equal(img[0::2, 0::2], img[1::2, 1::2])
+    assert img.max() > 0
+
+    # invalid scale (16*4 does not divide 32) falls back to full res
+    meta4, frame4 = svc.tick({"viewer": {"preview_scale": 4}})
+    img4 = np.frombuffer(frame4, np.uint8).reshape(32, 32, 3)
+    assert img4.max() > 0
+
+    # restore module-scoped fixture state
+    svc.tick({"viewer": {"preview_scale": 1, "accumulate_samples": True}})
