@@ -186,6 +186,9 @@ class LocalViewer:
 
     def _press(self, e):
         self._drag = (e.x, e.y, False)
+        # fast drag: quarter-ray preview while orbiting (state.preview_scale
+        # nearest-upscales, so pick coordinates stay full-res)
+        self.viewer_state["preview_scale"] = 2
 
     def _motion(self, e):
         if not self._drag:
@@ -197,6 +200,7 @@ class LocalViewer:
         self._drag = (e.x, e.y, True)
 
     def _release(self, e):
+        self.viewer_state["preview_scale"] = 1
         if self._drag and not self._drag[2]:
             st = self.service.state
             w = self.canvas.winfo_width() or st.width
