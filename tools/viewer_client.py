@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--fps_json", default=None,
                    help="record a frames/sec trace through the pipelined "
                         "service to this JSON file (skips saving PNGs)")
+    p.add_argument("--preview_scale", type=int, default=1,
+                   help="viewer preview_scale to request (2 = the web "
+                        "client's fast-drag rate)")
     args = p.parse_args(argv)
 
     import asyncio
@@ -60,6 +63,9 @@ def main(argv=None):
                 }
                 if args.edit and i == 0:
                     req["viewer"] = {"edits": json.loads(args.edit)}
+                if args.preview_scale != 1:
+                    req.setdefault("viewer", {})[
+                        "preview_scale"] = args.preview_scale
                 await ws.send(json.dumps(req))
                 metadata = json.loads(await ws.recv())
                 _mapping = json.loads(await ws.recv())
