@@ -998,27 +998,38 @@ def render_accumulated_chunked(
     sample stream is IDENTICAL to the single-dispatch path via key_offset,
     so chunked == unchunked up to float re-association (tested in
     tests/test_render_small.py)."""
-    acc = None
-    done = 0
-    while done < spp:
-        m = min(spp_chunk, spp - done)
+    def dispatch(m, done):
         if fused:
-            steps, final = render_accumulated_fused(
+            return render_accumulated_fused(
                 scene, camera, settings, key, width, height, spp=m,
                 key_offset=done, **kwargs,
             )
-        else:
-            steps, final = render_accumulated(
-                scene, camera, settings, jax.random.fold_in(key, done),
-                width, height, spp=m, **kwargs,
-            )
-        part = jax.tree_util.tree_map(
-            lambda a: np.asarray(a, dtype=np.float64) * (m / spp),
-            (steps, final),
+        return render_accumulated(
+            scene, camera, settings, jax.random.fold_in(key, done),
+            width, height, spp=m, **kwargs,
         )
-        acc = part if acc is None else jax.tree_util.tree_map(
-            lambda a, b: a + b, acc, part)
+
+    acc = None
+    done = 0
+    pending = None  # (m, device pytree): fetch one chunk BEHIND the
+    # dispatches so the device->host transfer overlaps the next chunk's
+    # compute (dispatch is async; the f64 host accumulation is unchanged)
+    while done < spp:
+        m = min(spp_chunk, spp - done)
+        cur = (m, dispatch(m, done))
         done += m
+        if pending is not None:
+            mp, tree = pending
+            part = jax.tree_util.tree_map(
+                lambda a: np.asarray(a, dtype=np.float64) * (mp / spp), tree)
+            acc = part if acc is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, acc, part)
+        pending = cur
+    mp, tree = pending
+    part = jax.tree_util.tree_map(
+        lambda a: np.asarray(a, dtype=np.float64) * (mp / spp), tree)
+    acc = part if acc is None else jax.tree_util.tree_map(
+        lambda a, b: a + b, acc, part)
     return jax.tree_util.tree_map(lambda a: a.astype(np.float32), acc)
 
 
