@@ -100,6 +100,13 @@ class Config:
                                    # need ~2x the primary budget
     cull_tile_secondary: int = 256  # rays per secondary culling tile
                                    # (smaller = tighter cone unions)
+    split_far: bool = False        # two-pass near/far split per bounce:
+                                   # far-field hits (t beyond the per-ray
+                                   # split-sphere exit) composite in a
+                                   # direction-sorted second pass (exact)
+    mc_far: int = 32               # far-pass candidate clusters per tile
+    split_radius_scale: float = 1.5  # split sphere radius as a multiple of
+                                   # the median live Gaussian distance
     max_hits: int = 32             # per-ray hit cap (BUFFER_SIZE*iters analog)
     trace_chunk: int = 2048        # Gaussian chunk per intersection block
     ray_tile: int = 8192           # rays per scan tile

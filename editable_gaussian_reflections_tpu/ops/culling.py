@@ -117,7 +117,17 @@ def tile_cones(rays_o, rays_d, tile: int) -> TileCones:
 def cone_sphere_visible(cones: TileCones, bounds: ClusterBounds,
                         near, far) -> jnp.ndarray:
     """[T, NC] conservative visibility: does the cluster sphere intersect the
-    tile's (expanded) cone within the depth window?"""
+    tile's (expanded) cone within the depth window?
+
+    `near` / `far` may be scalars or per-tile [T] arrays (the split-far
+    two-pass renderer bounds each pass's depth window per tile by the
+    rays' split-sphere exit distances)."""
+    near = jnp.asarray(near, jnp.float32)
+    far = jnp.asarray(far, jnp.float32)
+    if near.ndim == 1:
+        near = near[:, None]
+    if far.ndim == 1:
+        far = far[:, None]
     rel = bounds.center[None, :, :] - cones.origin[:, None, :]   # [T, NC, 3]
     dist = jnp.linalg.norm(rel, axis=-1)                          # [T, NC]
     reff = bounds.radius[None, :] + cones.origin_radius[:, None]

@@ -80,11 +80,17 @@ def pack_attr_table(attrs) -> jnp.ndarray:
     return cols
 
 
-def _pair_math(scalar_ref, rays_ref, gpack_ref, *, exp_power: float):
+def _pair_math(scalar_ref, rays_ref, gpack_ref, *, exp_power: float,
+               window_mode: int = 0):
     """Closed-form max-response intersection over the [R, C] pair block.
 
     Returns (t, alpha, valid) - the minimal quantities the composite path
     needs (no gaussval/local_hit; those are backward-only residuals).
+
+    `window_mode` (static) enables the split-far two-pass t-window: rays
+    column 7 carries a per-ray split distance t_split, and hits are kept
+    only when t < t_split (mode 1, near pass) or t > t_split (mode 2, far
+    pass).  Mode 0 compiles the original single-window validity untouched.
 
     Measured dead end (round 3, do not retry): bfloat16 for the transforms /
     dot products (hoping for 2x VPU lane packing).  sq = dot_oo -
@@ -127,6 +133,10 @@ def _pair_math(scalar_ref, rays_ref, gpack_ref, *, exp_power: float):
 
     valid = (gvalid > 0.0) & (dot_ol <= 0.0) & (sq <= 1.0)
     valid &= (t > near) & (t < far)
+    if window_mode == 1:
+        valid &= t < rays_ref[:, 7:8]
+    elif window_mode == 2:
+        valid &= t > rays_ref[:, 7:8]
     nrm = [g[ROW_NRM + i, :][None, :] for i in range(3)]
     nlen = g[ROW_NLEN, :][None, :]
     ndotd = nrm[0] * ld[0] + nrm[1] * ld[1] + nrm[2] * ld[2]

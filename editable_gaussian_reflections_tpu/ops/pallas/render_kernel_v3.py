@@ -208,7 +208,7 @@ def _render_kernel_v3(
     out_ref,
     gbuf, slot_ref, acc_ref, gsem,
     *, K: int, cluster: int, exp_power: float, debug_mode: int = 0,
-    nbuf: int = 4, check_every: int = 4,
+    nbuf: int = 4, check_every: int = 4, window_mode: int = 0,
 ):
     ti = pl.program_id(0)
     log_thr = scalar_ref[9]
@@ -257,7 +257,7 @@ def _render_kernel_v3(
         tt, alpha, valid, gvalid = _pair_math(
             scalar_ref, rays_ref,
             gbuf.at[0 if debug_mode == 4 else jax.lax.rem(ci, nbuf)],
-            exp_power=exp_power)
+            exp_power=exp_power, window_mode=window_mode)
         acc_ref[:, 0:1] += jnp.sum(
             jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1,
             keepdims=True)
@@ -312,7 +312,7 @@ def _render_kernel_v3(
 @partial(
     jax.jit,
     static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret",
-                     "debug_mode", "nbuf", "check_every"),
+                     "debug_mode", "nbuf", "check_every", "window_mode"),
 )
 def pallas_render_culled_v3(
     rays_o, rays_d, gpack, candidates, cand_near, num, near, far,
@@ -322,6 +322,7 @@ def pallas_render_culled_v3(
     max_hits: int = 16, cluster: int = 128, tile: int = 128,
     interpret: bool = False, alive=None, debug_mode: int = 0,
     nbuf: int = 4, check_every: int = 4,
+    t_split=None, window_mode: int = 0,
 ):
     """v3 culled trace + composite.  Returns [R, OUT_LANES] f32.
 
@@ -351,8 +352,10 @@ def pallas_render_culled_v3(
     candidates = jnp.where(candidates < 0, dummy, candidates)
     alive_col = (jnp.ones((R, 1), jnp.float32) if alive is None
                  else alive.reshape(R, 1).astype(jnp.float32))
+    split_col = (jnp.zeros((R, 1), jnp.float32) if t_split is None
+                 else t_split.reshape(R, 1).astype(jnp.float32))
     rays = jnp.concatenate(
-        [rays_o, rays_d, alive_col, jnp.zeros((R, 1), jnp.float32)], axis=1
+        [rays_o, rays_d, alive_col, split_col], axis=1
     ).astype(jnp.float32)
     scalars = jnp.stack([
         jnp.asarray(near, jnp.float32),
@@ -389,7 +392,8 @@ def pallas_render_culled_v3(
     return pl.pallas_call(
         partial(_render_kernel_v3, K=K, cluster=cluster,
                 exp_power=float(exp_power), debug_mode=debug_mode,
-                nbuf=nbuf, check_every=check_every),
+                nbuf=nbuf, check_every=check_every,
+                window_mode=window_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, OUT_LANES), jnp.float32),
         interpret=interpret,
@@ -412,7 +416,7 @@ def _render_kernel_v4(
     out_ref,
     slot_ref, acc_ref,
     *, K: int, cluster: int, exp_power: float, check_every: int,
-    debug_mode: int = 0,
+    debug_mode: int = 0, window_mode: int = 0,
 ):
     ti = pl.program_id(0)
     log_thr = scalar_ref[9]
@@ -433,7 +437,8 @@ def _render_kernel_v4(
         c = cand_ref[ti, ci]
         gblock = gpack_ref.at[:, pl.ds(c * cluster, cluster)]
         tt, alpha, valid, gvalid = _pair_math(
-            scalar_ref, rays_ref, gblock, exp_power=exp_power)
+            scalar_ref, rays_ref, gblock, exp_power=exp_power,
+            window_mode=window_mode)
         acc_ref[:, 0:1] += jnp.sum(
             jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1,
             keepdims=True)
@@ -484,7 +489,7 @@ def resident_fits(n_capacity: int) -> bool:
 @partial(
     jax.jit,
     static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret",
-                     "check_every", "debug_mode"),
+                     "check_every", "debug_mode", "window_mode"),
 )
 def pallas_render_culled_v4(
     rays_o, rays_d, gpack, candidates, cand_near, num, near, far,
@@ -493,9 +498,13 @@ def pallas_render_culled_v4(
     transmittance_threshold=0.01, eps_forward_normalization=1e-12,
     max_hits: int = 16, cluster: int = 128, tile: int = 256,
     interpret: bool = False, alive=None, check_every: int = 8,
-    debug_mode: int = 0,
+    debug_mode: int = 0, t_split=None, window_mode: int = 0,
 ):
-    """VMEM-resident culled trace + composite.  Same contract as v3."""
+    """VMEM-resident culled trace + composite.  Same contract as v3.
+
+    `t_split` [R] + `window_mode` (static 0/1/2) select the split-far
+    two-pass t-window (see _pair_math): mode 1 keeps hits with
+    t < t_split, mode 2 keeps t > t_split."""
     R = rays_o.shape[0]
     N = gpack.shape[1]
     assert N % cluster == 0 and R % tile == 0
@@ -513,8 +522,10 @@ def pallas_render_culled_v4(
     candidates = jnp.where(candidates < 0, dummy, candidates)
     alive_col = (jnp.ones((R, 1), jnp.float32) if alive is None
                  else alive.reshape(R, 1).astype(jnp.float32))
+    split_col = (jnp.zeros((R, 1), jnp.float32) if t_split is None
+                 else t_split.reshape(R, 1).astype(jnp.float32))
     rays = jnp.concatenate(
-        [rays_o, rays_d, alive_col, jnp.zeros((R, 1), jnp.float32)], axis=1
+        [rays_o, rays_d, alive_col, split_col], axis=1
     ).astype(jnp.float32)
     scalars = jnp.stack([
         jnp.asarray(near, jnp.float32),
@@ -553,7 +564,7 @@ def pallas_render_culled_v4(
     return pl.pallas_call(
         partial(_render_kernel_v4, K=K, cluster=cluster,
                 exp_power=float(exp_power), check_every=check_every,
-                debug_mode=debug_mode),
+                debug_mode=debug_mode, window_mode=window_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, OUT_LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(

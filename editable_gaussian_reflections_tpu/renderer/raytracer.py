@@ -679,6 +679,7 @@ def render_frame(
     jax.jit,
     static_argnames=("width", "height", "num_bounces", "max_hits", "jitter",
                      "exp_power_static", "cull_cluster", "max_clusters",
+                     "split_far", "mc_far", "split_radius_scale",
                      "rays_per_call", "interpret", "max_clusters_secondary",
                      "cull_tile_secondary", "cull_tile_primary"),
 )
@@ -700,6 +701,9 @@ def render_frame_fused(
     max_clusters_secondary: int | None = None,
     cull_tile_secondary: int = 256,
     cull_tile_primary: int = 256,
+    split_far: bool = False,
+    mc_far: int = 32,
+    split_radius_scale: float = 1.5,
 ):
     """Whole-frame render where each bounce is ONE fused Pallas kernel.
 
@@ -713,7 +717,20 @@ def render_frame_fused(
     tiles for the bounding cones; 16x16 at the default 256) and the scene
     capacity padded to cull_cluster; render_frame is the general fallback
     (fused_path_ok gates on the default tiling).
-    """
+
+    `split_far=True` renders each bounce as TWO kernel passes partitioned
+    EXACTLY by hit distance against a per-ray split-sphere exit t (auto
+    sphere: live-centroid center, split_radius_scale x median live radius):
+    a near pass (t < t_split) in the usual tiling, then a far pass
+    (t > t_split) over DIRECTION-sorted rays, composited behind the near
+    pass via the transmittance product (exact because every far hit is
+    farther than every near hit by construction).  The far-field shell -
+    the measured cause of secondary-ray candidate starvation (RESULTS.md
+    round 3: escaping GGX rays traverse ~100 unsaturated shell clusters) -
+    culls by ray DIRECTION in the far pass, so `max_clusters_secondary`
+    can shrink toward the near-scene budget while `mc_far` (default 32)
+    covers the shell, and rays saturated by the near pass skip the far
+    pass entirely (per-ray aliveness gate)."""
     from ..ops.culling import (
         cluster_bounds,
         morton_order,
@@ -776,6 +793,41 @@ def render_frame_fused(
     scene_hi = jnp.max(jnp.where(live[:, None], frames.mean, -jnp.inf),
                        axis=0)
 
+    if split_far:
+        # Auto split sphere: centroid of live means, radius = scale x the
+        # median live distance (the dense scene sits inside, the far-field
+        # cloud's bulk outside).  Correctness NEVER depends on the choice -
+        # the t-window partition is exact for any sphere - only the culling
+        # win does.
+        livef = live.astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(livef), 1.0)
+        split_c = jnp.sum(jnp.where(live[:, None], frames.mean, 0.0),
+                          axis=0) / cnt
+        dist_c = jnp.linalg.norm(frames.mean - split_c[None], axis=-1)
+        skey = jnp.sort(jnp.where(live, dist_c, jnp.inf))
+        n_live = jnp.sum(live.astype(jnp.int32))
+        r_med = jax.lax.dynamic_index_in_dim(
+            skey, jnp.maximum(n_live // 2, 0), keepdims=False)
+        r_split = jnp.float32(split_radius_scale) * r_med
+
+        def split_exit_t(ro, rd):
+            """Per-ray exit distance of the split sphere (same t-parameter
+            as the kernel's unnormalized-direction intersection).  Rays
+            that miss the sphere (origin outside, heading away) get 0:
+            everything on them composites in the far pass."""
+            oc = ro - split_c[None]
+            a2 = jnp.sum(rd * rd, axis=-1)
+            b = jnp.sum(rd * oc, axis=-1)
+            cc = jnp.sum(oc * oc, axis=-1) - r_split * r_split
+            disc = b * b - a2 * cc
+            t = jnp.where(
+                disc > 0,
+                (-b + jnp.sqrt(jnp.maximum(disc, 0.0)))
+                / jnp.maximum(a2, 1e-30),
+                0.0,
+            )
+            return jnp.maximum(t, 0.0)
+
     for step in range(num_steps):
         near = camera.znear if step == 0 else jnp.zeros_like(camera.znear)
         if step > 0:
@@ -813,48 +865,124 @@ def render_frame_fused(
         # "tile" is just a run of coherent rays, so its size is free to
         # shrink; primary tiles stay 16x16 pixels
         tile_step = cull_tile_primary if step == 0 else cull_tile_secondary
-        cands, cnear, num, ovf = select_candidates(
-            rays_o_k, rays_d_k, bounds, near, camera.zfar,
-            tile=tile_step, max_clusters=mc_step,
-        )
-        ovf_ray = jnp.repeat(ovf.astype(jnp.float32), tile_step)
-        if inv_order is not None:
-            ovf_ray = ovf_ray[inv_order]
-        mc = cands.shape[1]
-        tpc = rays_per_call // tile_step    # tiles per kernel call
 
-        def one_call(args):
-            ro, rd, al, cd, cn, nm = args
-            # VMEM-resident kernel when the packed scene fits on-chip (no
-            # per-chunk HBM fetches - the measured v3 bottleneck); streaming
-            # v3 otherwise
-            kern = (pallas_render_culled_v4
-                    if resident_fits(scene.capacity)
-                    else pallas_render_culled_v3)
-            out = kern(
-                ro, rd, gpack, cd, cn, nm, near, camera.zfar,
-                exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
-                settings.backfacing_max_dist,
-                settings.backfacing_invalid_normal_threshold,
-                transmittance_threshold=settings.transmittance_threshold,
-                eps_forward_normalization=settings.eps_forward_normalization,
-                max_hits=max_hits, cluster=cull_cluster, tile=tile_step,
-                interpret=interpret, alive=al,
+        def run_pass(ro_k, rd_k, al_k, ts_k, cull_near, cull_far, mc_p,
+                     tile_p, wmode, inv_p):
+            """One culled kernel pass over the (ordered) wavefront; returns
+            (composite dict, per-ray raw-overflow) in CANONICAL order."""
+            cands, cnear, num, ovf = select_candidates(
+                rays_o=ro_k, rays_d=rd_k, bounds=bounds,
+                near=cull_near, far=cull_far,
+                tile=tile_p, max_clusters=mc_p,
             )
-            return out
+            ovf_ray = jnp.repeat(ovf.astype(jnp.float32), tile_p)
+            mc = cands.shape[1]
+            tpc = rays_per_call // tile_p    # tiles per kernel call
 
-        out = jax.lax.map(one_call, (
-            rays_o_k.reshape(n_call, rays_per_call, 3),
-            rays_d_k.reshape(n_call, rays_per_call, 3),
-            alive_k.reshape(n_call, rays_per_call),
-            cands.reshape(n_call, tpc, mc),
-            cnear.reshape(n_call, tpc, mc),
-            num.reshape(n_call, tpc),
-        ))
-        out = out.reshape(Rp, -1)
-        if inv_order is not None:
-            out = out[inv_order]
-        comp = unpack_composite(out)
+            def one_call(args):
+                ro, rd, al, ts, cd, cn, nm = args
+                # VMEM-resident kernel when the packed scene fits on-chip
+                # (no per-chunk HBM fetches - the measured v3 bottleneck);
+                # streaming v3 otherwise
+                kern = (pallas_render_culled_v4
+                        if resident_fits(scene.capacity)
+                        else pallas_render_culled_v3)
+                out = kern(
+                    ro, rd, gpack, cd, cn, nm, near, camera.zfar,
+                    exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
+                    settings.backfacing_max_dist,
+                    settings.backfacing_invalid_normal_threshold,
+                    transmittance_threshold=settings.transmittance_threshold,
+                    eps_forward_normalization=(
+                        settings.eps_forward_normalization),
+                    max_hits=max_hits, cluster=cull_cluster, tile=tile_p,
+                    interpret=interpret, alive=al,
+                    t_split=ts, window_mode=wmode,
+                )
+                return out
+
+            out = jax.lax.map(one_call, (
+                ro_k.reshape(n_call, rays_per_call, 3),
+                rd_k.reshape(n_call, rays_per_call, 3),
+                al_k.reshape(n_call, rays_per_call),
+                ts_k.reshape(n_call, rays_per_call),
+                cands.reshape(n_call, tpc, mc),
+                cnear.reshape(n_call, tpc, mc),
+                num.reshape(n_call, tpc),
+            ))
+            out = out.reshape(Rp, -1)
+            if inv_p is not None:
+                out = out[inv_p]
+                ovf_ray = ovf_ray[inv_p]
+            return unpack_composite(out), ovf_ray
+
+        if not split_far:
+            zeros_ts = jnp.zeros((Rp,), jnp.float32)
+            comp, ovf_ray = run_pass(
+                rays_o_k, rays_d_k, alive_k, zeros_ts, near, camera.zfar,
+                mc_step, tile_step, 0, inv_order,
+            )
+            starved_step = _starved(ovf_ray, comp["full_T"], alive,
+                                    settings.transmittance_threshold)
+        else:
+            ts = split_exit_t(rays_o, rays_d)
+            ts_k = ts[order] if order is not None else ts
+            # near pass: per-tile depth window capped at the tile's largest
+            # split distance (shell clusters cull out of the window)
+            far_n = jnp.max(ts_k.reshape(-1, tile_step), axis=1)
+            comp_n, ovf_n = run_pass(
+                rays_o_k, rays_d_k, alive_k, ts_k, near, far_n,
+                mc_step, tile_step, 1, inv_order,
+            )
+            # far pass: saturated rays are dead; secondary rays re-sort by
+            # DIRECTION (the shell is at near-constant distance, so a
+            # direction-coherent tile's cone sees only a few shell clusters)
+            alive_f = alive & (comp_n["full_T"] >
+                               settings.transmittance_threshold)
+            if step > 0:
+                from ..ops.culling import morton_codes
+                dirm = morton_codes(rays_d, -jnp.ones(3), jnp.ones(3),
+                                    bits=5)
+                posm = morton_codes(rays_o, scene_lo, scene_hi, bits=2)
+                keys_f = (
+                    jnp.where(alive_f, jnp.uint32(0), jnp.uint32(1 << 26))
+                    | (dirm << 6) | posm
+                )
+                order_f = jnp.argsort(keys_f)
+                inv_f = jnp.zeros_like(order_f).at[order_f].set(
+                    jnp.arange(Rp, dtype=order_f.dtype))
+                ro_f = rays_o[order_f]
+                rd_f = rays_d[order_f]
+                al_f = alive_f[order_f]
+                ts_f = ts[order_f]
+            else:
+                order_f = inv_f = None
+                ro_f, rd_f, al_f, ts_f = rays_o, rays_d, alive_f, ts
+            near_f = jnp.min(ts_f.reshape(-1, tile_step), axis=1)
+            comp_f, ovf_f = run_pass(
+                ro_f, rd_f, al_f, ts_f, near_f, camera.zfar,
+                mc_far, tile_step, 2, inv_f,
+            )
+            # exact combine: every far hit is behind every near hit, so the
+            # far pass composites into the near pass's remaining
+            # transmittance (linear in the per-hit weights -> all
+            # accumulated attributes combine the same way)
+            fTn = comp_n["full_T"]
+            comp = dict(
+                rgb=comp_n["rgb"] + fTn[:, None] * comp_f["rgb"],
+                normal=comp_n["normal"] + fTn[:, None] * comp_f["normal"],
+                f0=comp_n["f0"] + fTn[:, None] * comp_f["f0"],
+                roughness=comp_n["roughness"] + fTn * comp_f["roughness"],
+                depth=comp_n["depth"] + fTn * comp_f["depth"],
+                T_final=comp_n["T_final"] * comp_f["T_final"],
+                full_T=fTn * comp_f["full_T"],
+            )
+            starved_step = jnp.maximum(
+                _starved(ovf_n, comp_n["full_T"], alive,
+                         settings.transmittance_threshold),
+                _starved(ovf_f, comp["full_T"], alive_f,
+                         settings.transmittance_threshold),
+            )
 
         rgb_step = (comp["rgb"] if step == 0
                     else comp["rgb"] * throughput)
@@ -890,8 +1018,7 @@ def render_frame_fused(
                 total_transmittance=comp["full_T"],
                 throughput=next_throughput,
                 alive=alive.astype(jnp.float32),
-                overflow=_starved(ovf_ray, comp["full_T"], alive,
-                                  settings.transmittance_threshold),
+                overflow=starved_step,
             )
         )
         rays_o, rays_d = next_origin, next_dir
@@ -923,7 +1050,8 @@ def fused_path_ok(scene: GaussianScene, width: int, height: int,
                      "spp", "exp_power_static", "cull_cluster",
                      "max_clusters", "rays_per_call", "interpret",
                      "max_clusters_secondary", "cull_tile_secondary",
-                     "cull_tile_primary"),
+                     "cull_tile_primary", "split_far", "mc_far",
+                     "split_radius_scale"),
 )
 def render_accumulated_fused(
     scene: GaussianScene,
@@ -945,6 +1073,9 @@ def render_accumulated_fused(
     max_clusters_secondary: int | None = None,
     cull_tile_secondary: int = 256,
     cull_tile_primary: int = 256,
+    split_far: bool = False,
+    mc_far: int = 32,
+    split_radius_scale: float = 1.5,
 ):
     """SPP accumulation over the fused whole-frame path (one HLO instance).
 
@@ -959,6 +1090,7 @@ def render_accumulated_fused(
             jitter, exp_power_static, cull_cluster, max_clusters,
             rays_per_call, interpret, max_clusters_secondary,
             cull_tile_secondary, cull_tile_primary,
+            split_far, mc_far, split_radius_scale,
         )
 
     def body(i, acc):

@@ -49,7 +49,11 @@ def default_backend_kwargs(cfg=None):
                       max_clusters_secondary=(
                           getattr(cfg, "max_clusters_secondary", 0) or None),
                       cull_tile_secondary=getattr(
-                          cfg, "cull_tile_secondary", 256))
+                          cfg, "cull_tile_secondary", 256),
+                      split_far=getattr(cfg, "split_far", False),
+                      mc_far=getattr(cfg, "mc_far", 32),
+                      split_radius_scale=getattr(
+                          cfg, "split_radius_scale", 1.5))
     return kw
 
 
@@ -68,6 +72,9 @@ def dispatch_render_frame(scene, cam, settings, key, W, H, *, num_bounces=2,
     # fused-path-only knobs: never forwarded to render_frame
     mc_secondary = kw.pop("max_clusters_secondary", None)
     tile_secondary = kw.pop("cull_tile_secondary", 256)
+    split_far = kw.pop("split_far", False)
+    mc_far = kw.pop("mc_far", 32)
+    split_radius_scale = kw.pop("split_radius_scale", 1.5)
     if use_fused and fused_path_ok(scene, W, H, cull_cluster):
         return render_frame_fused(
             scene, cam, settings, key, W, H,
@@ -77,6 +84,8 @@ def dispatch_render_frame(scene, cam, settings, key, W, H, *, num_bounces=2,
             interpret=kw.get("interpret", False),
             max_clusters_secondary=mc_secondary,
             cull_tile_secondary=tile_secondary,
+            split_far=split_far, mc_far=mc_far,
+            split_radius_scale=split_radius_scale,
         )
     return render_frame(
         scene, cam, settings, key, W, H,

@@ -132,6 +132,10 @@ def render_set(cli, cfg, split, iteration, views, scene_params, settings):
                         getattr(cfg, "max_clusters_secondary", 0) or None),
                     cull_tile_secondary=getattr(
                         cfg, "cull_tile_secondary", 256),
+                    split_far=getattr(cfg, "split_far", False),
+                    mc_far=getattr(cfg, "mc_far", 32),
+                    split_radius_scale=getattr(
+                        cfg, "split_radius_scale", 1.5),
                 )
             else:
                 steps, final = render_accumulated_chunked(

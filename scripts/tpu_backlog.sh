@@ -32,6 +32,11 @@ grep -q "rc=0" <(tail -1 "$OUT/backlog.log") || { echo "TPU DOWN"; exit 1; }
 run render_sweep 3000 python tools/bench_render_sweep.py \
   --configs "96:192:256,96:192:128,96:160:64,96:256:128"
 
+# 1b. split-far two-pass sweep (near budgets shrink; the far pass covers the
+#     shell by direction culling - see render_frame_fused(split_far=True))
+run render_sweep_split 3600 python tools/bench_render_sweep.py \
+  --configs "64:64:256:256:s32,64:64:128:256:s32,64:96:128:256:s32,96:96:256:256:s48,96:128:128:256:s32"
+
 # 2. bench.py (honest 96:192 config)
 run bench 1800 python bench.py
 

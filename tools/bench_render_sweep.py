@@ -30,7 +30,8 @@ def main():
     ap.add_argument("--configs", type=str,
                     default="64:64,64:96,64:128,96:128",
                     help="comma list of mcp:mcs[:secondary_tile[:primary_"
-                         "tile]] entries")
+                         "tile]][:sN] entries; a trailing sN enables the "
+                         "split-far two-pass renderer with mc_far=N")
     ap.add_argument("--rays_per_call", type=int, default=65536,
                     help="shrink with small secondary tiles to keep the "
                          "candidate lists inside the SMEM prefetch budget")
@@ -67,7 +68,11 @@ def main():
 
     results = []
     for cfg in args.configs.split(","):
-        parts = [int(x) for x in cfg.split(":")]
+        raw = cfg.split(":")
+        mc_far = 0
+        if raw and raw[-1].startswith("s"):
+            mc_far = int(raw.pop()[1:])
+        parts = [int(x) for x in raw]
         mcp, mcs = parts[0], parts[1]
         tile_s = parts[2] if len(parts) > 2 else 256
         tile_p = parts[3] if len(parts) > 3 else 256
@@ -77,6 +82,7 @@ def main():
             cull_cluster=args.cluster, max_clusters=mcp,
             max_clusters_secondary=mcs, cull_tile_secondary=tile_s,
             cull_tile_primary=tile_p, rays_per_call=args.rays_per_call,
+            split_far=mc_far > 0, mc_far=mc_far or 32,
         )
         steps, final = fn(key)
         np.asarray(final)                       # force the lazy axon compile
