@@ -741,6 +741,24 @@ def pallas_trace_slots(
       gpack, table, ftable)
 
 
+def merge_slots(slots_n, acc_n, slots_f, acc_f, K_n: int, K_f: int):
+    """Concatenate near-pass and far-pass slots buffers into one depth-
+    consistent [R, SLOT_BLOCKS*(K_n+K_f)] list + combined acc.
+
+    Valid because the split-far t-window guarantees every far hit is
+    farther than every near hit, and ops.composite's cumprod ignores the
+    interleaved invalid pads (alpha 0, valid False) - so concatenation IS
+    the sorted merge.  acc: log-transmittance and the counters add."""
+    R = slots_n.shape[0]
+    sn = slots_n.reshape(R, SLOT_BLOCKS, K_n)
+    sf = slots_f.reshape(R, SLOT_BLOCKS, K_f)
+    slots = jnp.concatenate([sn, sf], axis=-1).reshape(
+        R, SLOT_BLOCKS * (K_n + K_f))
+    acc = jnp.concatenate([acc_n[:, :3] + acc_f[:, :3], acc_n[:, 3:]],
+                          axis=1)
+    return slots, acc
+
+
 def unpack_slots(slots, acc, K, rays_o, rays_d):
     """Slots -> (RayHits-fields dict, attrs dict, frames dict).
 

@@ -674,6 +674,7 @@ def _slots_kernel_v4(
     slots_out_ref, acc_out_ref,
     slot1_ref, slot2_ref, acc_ref,
     *, K: int, cluster: int, exp_power: float, check_every: int,
+    window_mode: int = 0,
 ):
     ti = pl.program_id(0)
     log_thr = scalar_ref[9]
@@ -697,7 +698,7 @@ def _slots_kernel_v4(
         off = pl.ds(c * cluster, cluster)
         tt, alpha, valid, gvalid = _pair_math(
             scalar_ref, rays_ref, gpack_ref.at[:, off],
-            exp_power=exp_power)
+            exp_power=exp_power, window_mode=window_mode)
         acc_ref[:, 0:1] += jnp.sum(
             jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1,
             keepdims=True)
@@ -768,7 +769,7 @@ def slots_resident_fits(n_capacity: int) -> bool:
 @partial(
     jax.jit,
     static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret",
-                     "check_every"),
+                     "check_every", "window_mode"),
 )
 def pallas_trace_slots_v4(
     rays_o, rays_d, gpack, ftable, candidates, cand_near, near, far,
@@ -776,11 +777,17 @@ def pallas_trace_slots_v4(
     backfacing_invalid_normal_threshold, transmittance_threshold=0.01,
     max_hits: int = 32, cluster: int = 128, tile: int = 256,
     interpret: bool = False, alive=None, check_every: int = 8,
+    t_split=None, window_mode: int = 0,
 ):
     """VMEM-resident full-payload slots trace.  Same returns as
     render_kernel.pallas_trace_slots: (slots [R, SLOT_BLOCKS*K], acc
     [R, 16]), unpacked by unpack_slots.  `ftable` is pack_frame_table's
-    [N, FTABLE_A] output (transposed internally for lane slicing)."""
+    [N, FTABLE_A] output (transposed internally for lane slicing).
+
+    `t_split` [R] + static `window_mode` 0/1/2 select the split-far
+    t-window (see _pair_math); because all far hits lie behind all near
+    hits, a near-pass and a far-pass slots buffer CONCATENATE into one
+    depth-sorted list (merge_slots)."""
     R = rays_o.shape[0]
     N = gpack.shape[1]
     assert N % cluster == 0 and R % tile == 0
@@ -799,8 +806,10 @@ def pallas_trace_slots_v4(
     candidates = jnp.where(candidates < 0, dummy, candidates)
     alive_col = (jnp.ones((R, 1), jnp.float32) if alive is None
                  else alive.reshape(R, 1).astype(jnp.float32))
+    split_col = (jnp.zeros((R, 1), jnp.float32) if t_split is None
+                 else t_split.reshape(R, 1).astype(jnp.float32))
     rays = jnp.concatenate(
-        [rays_o, rays_d, alive_col, jnp.zeros((R, 1), jnp.float32)], axis=1
+        [rays_o, rays_d, alive_col, split_col], axis=1
     ).astype(jnp.float32)
     scalars = jnp.stack([
         jnp.asarray(near, jnp.float32),
@@ -844,7 +853,8 @@ def pallas_trace_slots_v4(
     )
     return pl.pallas_call(
         partial(_slots_kernel_v4, K=K, cluster=cluster,
-                exp_power=float(exp_power), check_every=check_every),
+                exp_power=float(exp_power), check_every=check_every,
+                window_mode=window_mode),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((R, NPK), jnp.float32),

@@ -60,7 +60,9 @@ def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
     static_argnames=("mesh", "width", "height", "num_bounces", "max_hits",
                      "chunk", "tile", "jitter", "use_pallas",
                      "exp_power_static", "use_culling", "cull_tile",
-                     "cull_cluster", "max_clusters", "interpret"),
+                     "cull_cluster", "max_clusters", "interpret",
+                     "split_far", "mc_far", "max_hits_far",
+                     "split_radius_scale"),
 )
 def sharded_train_step(
     mesh: Mesh,
@@ -85,6 +87,10 @@ def sharded_train_step(
     cull_cluster: int = 256,
     max_clusters: int = 192,
     interpret: bool = False,
+    split_far: bool = False,
+    mc_far: int = 32,
+    max_hits_far: int = 0,
+    split_radius_scale: float = 1.5,
 ):
     """One DP training step over the mesh. Rays sharded, params replicated,
     grads psum'd; returns (new TrainState, metrics) replicated.
@@ -107,6 +113,8 @@ def sharded_train_step(
         prepare_render_inputs(
             scene, settings, use_pallas, use_culling and use_pallas,
             cull_tile, cull_cluster, max_clusters,
+            split_far=split_far, mc_far=mc_far, max_hits_far=max_hits_far,
+            split_radius_scale=split_radius_scale,
         )
     )
     key_jit, key_b = jax.random.split(key)
@@ -136,6 +144,8 @@ def sharded_train_step(
         culling = None if cull_rep is None else dict(
             bounds=cull_rep[0], cull_tile=cull_tile, cluster=cull_cluster,
             mc=max_clusters, table=cull_rep[1], ftable=cull_rep[2],
+            split_far=split_far, mc_far=mc_far, max_hits_far=max_hits_far,
+            split_radius_scale=split_radius_scale,
         )
         idx = jax.lax.axis_index("rays")
         dirs_t = dirs_s.reshape(tiles_per_shard, tile_sz, 3)

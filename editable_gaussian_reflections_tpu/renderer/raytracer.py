@@ -368,6 +368,8 @@ def render_tile_with_grads_fused(
     gpack, table, ftable, bounds, cull_tile: int, cull_cluster: int,
     max_clusters: int, n_capacity: int, exp_power_static: float = 3.0,
     interpret: bool = False, use_mxu_scatter: bool = False,
+    split_far: bool = False, mc_far: int = 32, max_hits_far: int = 0,
+    split_radius_scale: float = 1.5,
 ):
     """Forward + loss-fused backward via the slots kernel: ZERO XLA gathers.
 
@@ -378,9 +380,22 @@ def render_tile_with_grads_fused(
     attrs[ids]/gather_frames stages, which dominated the 768px training
     step (~15 s/iter -> the gathers were most of it).
 
-    Same RNG stream as render_tile, so single-device equivalence holds."""
+    Same RNG stream as render_tile, so single-device equivalence holds.
+
+    `split_far=True` (VMEM-resident scenes only) traces each bounce as a
+    near pass (t < per-ray split-sphere exit) plus a direction-sorted far
+    pass (t beyond; `mc_far` candidates, `max_hits_far` slots - 0 means
+    max(8, max_hits // 2)); the two depth-sorted slot buffers CONCATENATE
+    into one sorted list (merge_slots), so composite/backward/scatter run
+    unchanged at K_total = K + K_far - with single-pass threshold
+    semantics exactly (T_before spans both sets).  Incompatible with the
+    opt-in MXU scatter (per-tile candidate matching assumes one pass)."""
     from ..ops.culling import select_candidates
-    from ..ops.pallas.render_kernel import pallas_trace_slots, unpack_slots
+    from ..ops.pallas.render_kernel import (
+        merge_slots,
+        pallas_trace_slots,
+        unpack_slots,
+    )
     from ..ops.pallas.render_kernel_v3 import (
         pallas_trace_slots_v4,
         slots_resident_fits,
@@ -397,6 +412,34 @@ def render_tile_with_grads_fused(
     alive = jnp.ones((R,), bool)
     throughput = jnp.ones((R, 3), jnp.float32)
     outs, residuals = [], []
+
+    split = split_far and slots_resident_fits(n_capacity)
+    Kf = (max_hits_far or max(8, K // 2)) if split else 0
+    use_mxu_scatter = use_mxu_scatter and not split
+    if split:
+        # split sphere from the valid cluster bounds (exactness never
+        # depends on the sphere - only the far-pass culling win does)
+        vmask = bounds.any_valid
+        cntc = jnp.maximum(jnp.sum(vmask.astype(jnp.float32)), 1.0)
+        split_c = jnp.sum(
+            jnp.where(vmask[:, None], bounds.center, 0.0), axis=0) / cntc
+        dcl = jnp.linalg.norm(bounds.center - split_c[None], axis=-1)
+        sk = jnp.sort(jnp.where(vmask, dcl, jnp.inf))
+        nvc = jnp.sum(vmask.astype(jnp.int32))
+        r_split = jnp.float32(split_radius_scale) * jax.lax.dynamic_index_in_dim(
+            sk, jnp.maximum(nvc // 2, 0), keepdims=False)
+
+        def split_exit_t(ro, rd):
+            oc = ro - split_c[None]
+            a2 = jnp.sum(rd * rd, axis=-1)
+            b = jnp.sum(rd * oc, axis=-1)
+            cc = jnp.sum(oc * oc, axis=-1) - r_split * r_split
+            disc = b * b - a2 * cc
+            t = jnp.where(
+                disc > 0,
+                (-b + jnp.sqrt(jnp.maximum(disc, 0.0)))
+                / jnp.maximum(a2, 1e-30), 0.0)
+            return jnp.maximum(t, 0.0)
 
     # scene bbox (from the conservative cluster spheres) for secondary-ray
     # Morton re-tiling - same coherence trick as render_frame_fused: GGX
@@ -429,44 +472,95 @@ def render_tile_with_grads_fused(
             rays_o_k, rays_d_k, alive_k = (
                 rays_o[order], rays_d[order], alive[order])
         else:
-            inv_order = None
+            order = inv_order = None
             rays_o_k, rays_d_k, alive_k = rays_o, rays_d, alive
-        cands, cnear, _n, ovf = select_candidates(
-            rays_o_k, rays_d_k, bounds, near, zfar, tile=cull_tile,
-            max_clusters=max_clusters,
-        )
-        ovf_ray = jnp.repeat(ovf.astype(jnp.float32), cull_tile)
-        if inv_order is not None:
-            ovf_ray = ovf_ray[inv_order]
-        if slots_resident_fits(n_capacity):
-            # VMEM-resident path: zero per-chunk HBM fetches (round-3 perf)
-            slots, acc = pallas_trace_slots_v4(
-                rays_o_k, rays_d_k, gpack, ftable, cands, cnear, near, zfar,
-                exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
-                settings.backfacing_max_dist,
-                settings.backfacing_invalid_normal_threshold,
-                transmittance_threshold=settings.transmittance_threshold,
-                max_hits=K, cluster=cull_cluster, tile=cull_tile,
-                interpret=interpret, alive=alive_k,
+
+        def trace_pass(ro_k, rd_k, al_k, ts_k, cull_near, cull_far, mc_p,
+                       K_p, wmode, inv_p):
+            """One slots-kernel trace in the given ray order; returns
+            (slots, acc, raw-overflow, cands) in CANONICAL order."""
+            cands, cnear, _n, ovf = select_candidates(
+                ro_k, rd_k, bounds, cull_near, cull_far, tile=cull_tile,
+                max_clusters=mc_p,
             )
+            ovf_r = jnp.repeat(ovf.astype(jnp.float32), cull_tile)
+            if slots_resident_fits(n_capacity):
+                # VMEM-resident path: zero per-chunk HBM fetches (round-3)
+                slots, acc = pallas_trace_slots_v4(
+                    ro_k, rd_k, gpack, ftable, cands, cnear, near, zfar,
+                    exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
+                    settings.backfacing_max_dist,
+                    settings.backfacing_invalid_normal_threshold,
+                    transmittance_threshold=settings.transmittance_threshold,
+                    max_hits=K_p, cluster=cull_cluster, tile=cull_tile,
+                    interpret=interpret, alive=al_k,
+                    t_split=ts_k, window_mode=wmode,
+                )
+            else:
+                slots, acc = pallas_trace_slots(
+                    ro_k, rd_k, gpack, table, ftable, cands, cnear, near,
+                    zfar, exp_power_static,
+                    jnp.float32(1.0 if step > 0 else 0.0),
+                    settings.backfacing_max_dist,
+                    settings.backfacing_invalid_normal_threshold,
+                    transmittance_threshold=settings.transmittance_threshold,
+                    max_hits=K_p, cluster=cull_cluster, tile=cull_tile,
+                    interpret=interpret, alive=al_k,
+                )
+            if inv_p is not None:
+                # [R, lanes] row-gathers return the slots to original ray
+                # order; everything downstream (composite, GGX epilogue,
+                # backward, scatter) is row-local
+                slots = slots[inv_p]
+                acc = acc[inv_p]
+                ovf_r = ovf_r[inv_p]
+            return slots, acc, ovf_r, cands
+
+        if not split:
+            slots, acc, ovf_ray, cands = trace_pass(
+                rays_o_k, rays_d_k, alive_k, None, near, zfar,
+                max_clusters, K, 0, inv_order,
+            )
+            K_step = K
+            acc_near = acc
+            ovf_near = ovf_ray
+            alive_far = alive
         else:
-            slots, acc = pallas_trace_slots(
-                rays_o_k, rays_d_k, gpack, table, ftable, cands, cnear, near,
-                zfar, exp_power_static,
-                jnp.float32(1.0 if step > 0 else 0.0),
-                settings.backfacing_max_dist,
-                settings.backfacing_invalid_normal_threshold,
-                transmittance_threshold=settings.transmittance_threshold,
-                max_hits=K, cluster=cull_cluster, tile=cull_tile,
-                interpret=interpret, alive=alive_k,
+            ts = split_exit_t(rays_o, rays_d)
+            ts_k = ts[order] if order is not None else ts
+            far_n = jnp.max(ts_k.reshape(-1, cull_tile), axis=1)
+            slots_n, acc_n, ovf_near, cands = trace_pass(
+                rays_o_k, rays_d_k, alive_k, ts_k, near, far_n,
+                max_clusters, K, 1, inv_order,
             )
-        if inv_order is not None:
-            # two [R, lanes] row-gathers return the slots to original ray
-            # order; everything downstream (composite, GGX epilogue,
-            # backward, scatter) is row-local
-            slots = slots[inv_order]
-            acc = acc[inv_order]
-        hits_d, attrs_d, frames_d = unpack_slots(slots, acc, K, rays_o,
+            alive_far = alive & (jnp.exp(acc_n[:, 0]) >
+                                 settings.transmittance_threshold)
+            if step > 0:
+                dirm = morton_codes(rays_d, -jnp.ones(3), jnp.ones(3),
+                                    bits=5)
+                posm = morton_codes(rays_o, scene_lo, scene_hi, bits=2)
+                keys_f = (
+                    jnp.where(alive_far, jnp.uint32(0), jnp.uint32(1 << 26))
+                    | (dirm << 6) | posm
+                )
+                order_f = jnp.argsort(keys_f)
+                inv_f = jnp.zeros_like(order_f).at[order_f].set(
+                    jnp.arange(R, dtype=order_f.dtype))
+                ro_f, rd_f, al_f, ts_f = (
+                    rays_o[order_f], rays_d[order_f], alive_far[order_f],
+                    ts[order_f])
+            else:
+                inv_f = None
+                ro_f, rd_f, al_f, ts_f = rays_o, rays_d, alive_far, ts
+            near_f = jnp.min(ts_f.reshape(-1, cull_tile), axis=1)
+            slots_f, acc_f, ovf_far, _cf = trace_pass(
+                ro_f, rd_f, al_f, ts_f, near_f, zfar, mc_far, Kf, 2, inv_f,
+            )
+            slots, acc = merge_slots(slots_n, acc_n, slots_f, acc_f, K, Kf)
+            K_step = K + Kf
+            acc_near = acc_n
+            ovf_ray = jnp.maximum(ovf_near, ovf_far)
+        hits_d, attrs_d, frames_d = unpack_slots(slots, acc, K_step, rays_o,
                                                  rays_d)
         hits = RayHits(**{k: hits_d[k] for k in RayHits._fields})
         comp = composite(
@@ -495,13 +589,22 @@ def render_tile_with_grads_fused(
         next_throughput = jnp.where(
             next_alive[:, None], throughput * jnp.nan_to_num(w), 0.0
         )
+        if split:
+            starved_step = jnp.maximum(
+                _starved(ovf_near, jnp.exp(acc_near[:, 0]), alive,
+                         settings.transmittance_threshold),
+                _starved(ovf_far, comp.full_T, alive_far,
+                         settings.transmittance_threshold),
+            )
+        else:
+            starved_step = _starved(ovf_ray, comp.full_T, alive,
+                                    settings.transmittance_threshold)
         outs.append(dict(
             rgb=rgb_step, normal=comp.normal, f0=comp.f0,
             roughness=comp.roughness, depth=comp.depth,
             transmittance=comp.T_final, total_transmittance=comp.full_T,
             throughput=next_throughput, alive=alive.astype(jnp.float32),
-            overflow=_starved(ovf_ray, comp.full_T, alive,
-                              settings.transmittance_threshold),
+            overflow=starved_step,
         ))
         rays_o, rays_d = next_origin, next_dir
         throughput = next_throughput

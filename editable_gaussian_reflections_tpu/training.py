@@ -115,6 +115,10 @@ def prepare_render_inputs(
     cull_tile: int,
     cull_cluster: int,
     max_clusters: int,
+    split_far: bool = False,
+    mc_far: int = 32,
+    max_hits_far: int = 0,
+    split_radius_scale: float = 1.5,
 ):
     """Per-step scene preprocessing shared by the single-device and sharded
     train steps: activation frames, optional Morton sort (the BVH-refit
@@ -145,7 +149,10 @@ def prepare_render_inputs(
         culling = dict(bounds=bounds, cull_tile=cull_tile,
                        cluster=cull_cluster, mc=max_clusters,
                        table=pack_attr_table(attrs),
-                       ftable=pack_frame_table(frames, scene_for_bwd))
+                       ftable=pack_frame_table(frames, scene_for_bwd),
+                       split_far=split_far, mc_far=mc_far,
+                       max_hits_far=max_hits_far,
+                       split_radius_scale=split_radius_scale)
     if use_pallas:
         from .ops.pallas.trace_kernel import pack_frames
         gpack = pack_frames(frames, attrs)
@@ -206,6 +213,10 @@ def grads_over_tiles(
                 cull_cluster=culling["cluster"],
                 max_clusters=culling["mc"], n_capacity=n,
                 exp_power_static=exp_power_static, interpret=interpret,
+                split_far=culling.get("split_far", False),
+                mc_far=culling.get("mc_far", 32),
+                max_hits_far=culling.get("max_hits_far", 0),
+                split_radius_scale=culling.get("split_radius_scale", 1.5),
             )
         else:
             steps, final, grads = render_tile_with_grads(
@@ -284,7 +295,8 @@ def apply_updates(state: TrainState, grads: ParamGrads, lrs: dict,
     static_argnames=("width", "height", "num_bounces", "max_hits", "chunk",
                      "tile", "jitter", "use_pallas", "exp_power_static",
                      "use_culling", "cull_tile", "cull_cluster",
-                     "max_clusters", "interpret"),
+                     "max_clusters", "interpret", "split_far", "mc_far",
+                     "max_hits_far", "split_radius_scale"),
 )
 def train_step(
     state: TrainState,
@@ -308,6 +320,10 @@ def train_step(
     cull_cluster: int = 256,
     max_clusters: int = 192,
     interpret: bool = False,
+    split_far: bool = False,
+    mc_far: int = 32,
+    max_hits_far: int = 0,
+    split_radius_scale: float = 1.5,
 ):
     scene = state.scene
     cull_tile = min(cull_tile, 256)  # fused-kernel VMEM budget
@@ -315,6 +331,8 @@ def train_step(
         prepare_render_inputs(
             scene, settings, use_pallas, use_culling and use_pallas,
             cull_tile, cull_cluster, max_clusters,
+            split_far=split_far, mc_far=mc_far, max_hits_far=max_hits_far,
+            split_radius_scale=split_radius_scale,
         )
     )
     key_jit, key_b = jax.random.split(key)

@@ -46,6 +46,12 @@ run train_step_k16_mc128_c128 1800 python tools/bench_train_step.py \
 run train_step_k16_mc192_c128 1800 python tools/bench_train_step.py \
   --max_hits 16 --max_clusters 192 --cull_cluster 128
 
+# 3b. split-far train steps (near budget shrinks; far pass covers the shell)
+run train_step_split_k16_mc96 1800 python tools/bench_train_step.py \
+  --max_hits 16 --max_clusters 96 --cull_cluster 128 --split_far --mc_far 32
+run train_step_split_k32_mc128 1800 python tools/bench_train_step.py \
+  --max_hits 32 --max_clusters 128 --cull_cluster 128 --split_far --mc_far 32
+
 # 4. quality A/B (1000 iters each, 256px parity dataset)
 if [ -d "$DATASET" ]; then
   run ab_default 7200 env NO_WORKERS=1 python train.py -s "$DATASET" \

@@ -162,6 +162,77 @@ def test_frame_split_far_matches_single_pass(bounces):
             rtol=1e-5, atol=1e-5, err_msg=name)
 
 
+@pytest.mark.parametrize("bounces", [0, 2])
+def test_training_split_far_matches_single_pass_grads(bounces):
+    """render_tile_with_grads_fused(split_far=True): merged near+far slots
+    must reproduce the single-pass forward AND loss-fused gradients when
+    both passes have capacity (thr tiny so the aliveness gate never
+    diverges; at saturation the split intentionally truncates full_T like
+    the reference PPLL loop does)."""
+    from editable_gaussian_reflections_tpu.ops.pallas.render_kernel import (
+        pack_attr_table,
+        pack_frame_table,
+    )
+    from editable_gaussian_reflections_tpu.ops.pallas.trace_kernel import (
+        pack_frames,
+    )
+    from editable_gaussian_reflections_tpu.renderer.raytracer import (
+        RayTargets,
+        render_tile_with_grads_fused,
+    )
+
+    rng = np.random.default_rng(4)
+    scene = _random_scene(rng)
+    settings = RenderSettings(transmittance_threshold=1e-8)
+    frames, attrs = build_frames(
+        scene, settings.alpha_threshold, settings.exp_power,
+        settings.global_scale_factor)
+    perm = morton_order(frames)
+    frames = jax.tree_util.tree_map(lambda a: a[perm], frames)
+    attrs = jax.tree_util.tree_map(lambda a: a[perm], attrs)
+    scene_s = jax.tree_util.tree_map(lambda a: a[perm], scene)
+    bounds = cluster_bounds(frames, 128)
+    gpack = pack_frames(frames, attrs)
+    table = pack_attr_table(attrs)
+    ftable = pack_frame_table(frames, scene_s)
+
+    R = 512
+    rays_o = jnp.asarray(rng.normal(0, 0.5, (R, 3)).astype(np.float32))
+    rays_d = rng.normal(size=(R, 3)).astype(np.float32)
+    rays_d = jnp.asarray(rays_d / np.linalg.norm(rays_d, axis=1,
+                                                 keepdims=True))
+    targets = RayTargets(
+        diffuse=jnp.asarray(rng.uniform(0, 1, (R, 3)), jnp.float32),
+        specular=jnp.asarray(rng.uniform(0, 0.3, (R, 3)), jnp.float32),
+        depth=jnp.asarray(rng.uniform(1, 5, (R,)), jnp.float32),
+        normal=jnp.asarray(rng.normal(size=(R, 3)), jnp.float32),
+        roughness=jnp.asarray(rng.uniform(0, 1, (R,)), jnp.float32),
+        f0=jnp.asarray(rng.uniform(0, 1, (R, 3)), jnp.float32))
+    key = jax.random.PRNGKey(7)
+    kw = dict(gpack=gpack, table=table, ftable=ftable, bounds=bounds,
+              cull_tile=256, cull_cluster=128, max_clusters=8,
+              n_capacity=scene.capacity, interpret=True)
+    s0, f0, g0 = render_tile_with_grads_fused(
+        rays_o, rays_d, targets, settings, jnp.float32(0.1),
+        jnp.float32(100.0), key, bounces, 16, split_far=False, **kw)
+    s1, f1, g1 = render_tile_with_grads_fused(
+        rays_o, rays_d, targets, settings, jnp.float32(0.1),
+        jnp.float32(100.0), key, bounces, 16, split_far=True, mc_far=8,
+        max_hits_far=16, **kw)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-5, atol=1e-5)
+    for name in ("rgb", "depth", "transmittance", "total_transmittance",
+                 "normal", "roughness"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, name)), np.asarray(getattr(s0, name)),
+            rtol=1e-5, atol=1e-5, err_msg=name)
+    for f in g0._fields:
+        a, b = np.asarray(getattr(g1, f)), np.asarray(getattr(g0, f))
+        scale = max(1e-6, np.abs(b).max())
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5 * scale,
+                                   err_msg=f"grads.{f}")
+
+
 def test_split_far_saturated_rays_skip_far_pass():
     """A ray saturated by the near pass must composite NOTHING from the far
     pass (aliveness gate == the reference's PPLL saturation stop), and the

@@ -41,6 +41,11 @@ def main():
     # kept for compatibility with earlier A/B invocations: now a no-op
     # because the XLA scatter IS the default
     ap.add_argument("--xla-scatter", action="store_true")
+    ap.add_argument("--split_far", action="store_true",
+                    help="two-pass near/far split per bounce (exact; the "
+                         "far-field shell culls by ray direction)")
+    ap.add_argument("--mc_far", type=int, default=32)
+    ap.add_argument("--max_hits_far", type=int, default=0)
     args = ap.parse_args()
 
     import numpy as np
@@ -103,6 +108,8 @@ def main():
         jitter=True, use_pallas=True, exp_power_static=3.0,
         use_culling=True, cull_tile=256, cull_cluster=args.cull_cluster,
         max_clusters=args.max_clusters,
+        split_far=args.split_far, mc_far=args.mc_far,
+        max_hits_far=args.max_hits_far,
     )
 
     key = jax.random.PRNGKey(0)
@@ -126,6 +133,7 @@ def main():
         "metric": "fused_train_step",
         "res": args.res, "n": args.n,
         "scatter": "mxu" if args.mxu_scatter else "xla",
+        "split_far": bool(args.split_far),
         "s_per_iter": round(dt, 3),
     }))
 

@@ -175,7 +175,10 @@ def main(cfg: Config, resume: bool = False):
     )
     cull_kw = dict(use_culling=use_culling, cull_tile=cfg.cull_tile,
                    cull_cluster=cfg.cull_cluster,
-                   max_clusters=cfg.max_clusters)
+                   max_clusters=cfg.max_clusters,
+                   split_far=getattr(cfg, "split_far", False),
+                   mc_far=getattr(cfg, "mc_far", 32),
+                   split_radius_scale=getattr(cfg, "split_radius_scale", 1.5))
     start_time = time.time()
     if first_iter > 1:
         # resume: keep time.txt CUMULATIVE across restarts by offsetting the
