@@ -105,6 +105,8 @@ class Config:
                                    # split-sphere exit) composite in a
                                    # direction-sorted second pass (exact)
     mc_far: int = 32               # far-pass candidate clusters per tile
+    max_hits_far: int = 0          # far-pass k-buffer depth (0 = near depth
+                                   # for rendering, max(8, K//2) in training)
     split_radius_scale: float = 1.5  # split sphere radius as a multiple of
                                    # the median live Gaussian distance
     max_hits: int = 32             # per-ray hit cap (BUFFER_SIZE*iters analog)

@@ -783,6 +783,7 @@ def render_frame(
     static_argnames=("width", "height", "num_bounces", "max_hits", "jitter",
                      "exp_power_static", "cull_cluster", "max_clusters",
                      "split_far", "mc_far", "split_radius_scale",
+                     "max_hits_far",
                      "rays_per_call", "interpret", "max_clusters_secondary",
                      "cull_tile_secondary", "cull_tile_primary"),
 )
@@ -807,6 +808,7 @@ def render_frame_fused(
     split_far: bool = False,
     mc_far: int = 32,
     split_radius_scale: float = 1.5,
+    max_hits_far: int = 0,
 ):
     """Whole-frame render where each bounce is ONE fused Pallas kernel.
 
@@ -970,7 +972,7 @@ def render_frame_fused(
         tile_step = cull_tile_primary if step == 0 else cull_tile_secondary
 
         def run_pass(ro_k, rd_k, al_k, ts_k, cull_near, cull_far, mc_p,
-                     tile_p, wmode, inv_p):
+                     tile_p, wmode, inv_p, K_p=max_hits):
             """One culled kernel pass over the (ordered) wavefront; returns
             (composite dict, per-ray raw-overflow) in CANONICAL order."""
             cands, cnear, num, ovf = select_candidates(
@@ -998,7 +1000,7 @@ def render_frame_fused(
                     transmittance_threshold=settings.transmittance_threshold,
                     eps_forward_normalization=(
                         settings.eps_forward_normalization),
-                    max_hits=max_hits, cluster=cull_cluster, tile=tile_p,
+                    max_hits=K_p, cluster=cull_cluster, tile=tile_p,
                     interpret=interpret, alive=al,
                     t_split=ts, window_mode=wmode,
                 )
@@ -1065,6 +1067,7 @@ def render_frame_fused(
             comp_f, ovf_f = run_pass(
                 ro_f, rd_f, al_f, ts_f, near_f, camera.zfar,
                 mc_far, tile_step, 2, inv_f,
+                K_p=max_hits_far or max_hits,
             )
             # exact combine: every far hit is behind every near hit, so the
             # far pass composites into the near pass's remaining
@@ -1154,7 +1157,7 @@ def fused_path_ok(scene: GaussianScene, width: int, height: int,
                      "max_clusters", "rays_per_call", "interpret",
                      "max_clusters_secondary", "cull_tile_secondary",
                      "cull_tile_primary", "split_far", "mc_far",
-                     "split_radius_scale"),
+                     "split_radius_scale", "max_hits_far"),
 )
 def render_accumulated_fused(
     scene: GaussianScene,
@@ -1179,6 +1182,7 @@ def render_accumulated_fused(
     split_far: bool = False,
     mc_far: int = 32,
     split_radius_scale: float = 1.5,
+    max_hits_far: int = 0,
 ):
     """SPP accumulation over the fused whole-frame path (one HLO instance).
 
@@ -1193,7 +1197,7 @@ def render_accumulated_fused(
             jitter, exp_power_static, cull_cluster, max_clusters,
             rays_per_call, interpret, max_clusters_secondary,
             cull_tile_secondary, cull_tile_primary,
-            split_far, mc_far, split_radius_scale,
+            split_far, mc_far, split_radius_scale, max_hits_far,
         )
 
     def body(i, acc):

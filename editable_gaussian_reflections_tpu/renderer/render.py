@@ -52,6 +52,7 @@ def default_backend_kwargs(cfg=None):
                           cfg, "cull_tile_secondary", 256),
                       split_far=getattr(cfg, "split_far", False),
                       mc_far=getattr(cfg, "mc_far", 32),
+                      max_hits_far=getattr(cfg, "max_hits_far", 0),
                       split_radius_scale=getattr(
                           cfg, "split_radius_scale", 1.5))
     return kw
@@ -74,6 +75,7 @@ def dispatch_render_frame(scene, cam, settings, key, W, H, *, num_bounces=2,
     tile_secondary = kw.pop("cull_tile_secondary", 256)
     split_far = kw.pop("split_far", False)
     mc_far = kw.pop("mc_far", 32)
+    max_hits_far = kw.pop("max_hits_far", 0)
     split_radius_scale = kw.pop("split_radius_scale", 1.5)
     if use_fused and fused_path_ok(scene, W, H, cull_cluster):
         return render_frame_fused(
@@ -84,7 +86,7 @@ def dispatch_render_frame(scene, cam, settings, key, W, H, *, num_bounces=2,
             interpret=kw.get("interpret", False),
             max_clusters_secondary=mc_secondary,
             cull_tile_secondary=tile_secondary,
-            split_far=split_far, mc_far=mc_far,
+            split_far=split_far, mc_far=mc_far, max_hits_far=max_hits_far,
             split_radius_scale=split_radius_scale,
         )
     return render_frame(

@@ -322,7 +322,7 @@ def train_step(
     interpret: bool = False,
     split_far: bool = False,
     mc_far: int = 32,
-    max_hits_far: int = 0,
+    max_hits_far: int = 0,   # 0 = max(8, max_hits // 2)
     split_radius_scale: float = 1.5,
 ):
     scene = state.scene

@@ -134,6 +134,7 @@ def render_set(cli, cfg, split, iteration, views, scene_params, settings):
                         cfg, "cull_tile_secondary", 256),
                     split_far=getattr(cfg, "split_far", False),
                     mc_far=getattr(cfg, "mc_far", 32),
+                    max_hits_far=getattr(cfg, "max_hits_far", 0),
                     split_radius_scale=getattr(
                         cfg, "split_radius_scale", 1.5),
                 )

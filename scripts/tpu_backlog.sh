@@ -35,7 +35,12 @@ run render_sweep 3000 python tools/bench_render_sweep.py \
 # 1b. split-far two-pass sweep (near budgets shrink; the far pass covers the
 #     shell by direction culling - see render_frame_fused(split_far=True))
 run render_sweep_split 3600 python tools/bench_render_sweep.py \
-  --configs "64:64:256:256:s32,64:64:128:256:s32,64:96:128:256:s32,96:96:256:256:s48,96:128:128:256:s32"
+  --configs "64:64:256:256:s32,64:64:128:256:s32,64:96:128:256:s32,96:96:256:256:s48,96:128:128:256:s32,64:64:128:256:s32:k8"
+
+# 1c. split-far at cluster=64 (finer culling granularity; pairs/ray halve
+#     if cand counts hold - the VMEM-resident kernel pays no extra DMAs)
+run render_sweep_split_c64 3600 python tools/bench_render_sweep.py \
+  --cluster 64 --configs "96:96:256:256:s48,96:128:128:256:s48,128:128:128:256:s48"
 
 # 2. bench.py (honest 96:192 config)
 run bench 1800 python bench.py

@@ -150,9 +150,12 @@ def test_frame_split_far_matches_single_pass(bounces):
     s0, f0 = render_frame_fused(scene, CAMERA, settings,
                                 jax.random.PRNGKey(0), 32, 32,
                                 split_far=False, **kw)
+    # max_hits_far=8 != near K: exercises the per-pass k-buffer depth (the
+    # sparse shell never exceeds it, so equality still holds)
     s1, f1 = render_frame_fused(scene, CAMERA, settings,
                                 jax.random.PRNGKey(0), 32, 32,
-                                split_far=True, mc_far=8, **kw)
+                                split_far=True, mc_far=8, max_hits_far=8,
+                                **kw)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
                                rtol=1e-5, atol=1e-5)
     for name in ("rgb", "depth", "transmittance", "total_transmittance",

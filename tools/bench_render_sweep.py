@@ -30,8 +30,9 @@ def main():
     ap.add_argument("--configs", type=str,
                     default="64:64,64:96,64:128,96:128",
                     help="comma list of mcp:mcs[:secondary_tile[:primary_"
-                         "tile]][:sN] entries; a trailing sN enables the "
-                         "split-far two-pass renderer with mc_far=N")
+                         "tile]][:sN[:kM]] entries; a trailing sN enables "
+                         "the split-far two-pass renderer with mc_far=N "
+                         "(kM sets the far-pass k-buffer depth)")
     ap.add_argument("--rays_per_call", type=int, default=65536,
                     help="shrink with small secondary tiles to keep the "
                          "candidate lists inside the SMEM prefetch budget")
@@ -69,7 +70,9 @@ def main():
     results = []
     for cfg in args.configs.split(","):
         raw = cfg.split(":")
-        mc_far = 0
+        mc_far, k_far = 0, 0
+        if raw and raw[-1].startswith("k"):
+            k_far = int(raw.pop()[1:])
         if raw and raw[-1].startswith("s"):
             mc_far = int(raw.pop()[1:])
         parts = [int(x) for x in raw]
@@ -82,7 +85,7 @@ def main():
             cull_cluster=args.cluster, max_clusters=mcp,
             max_clusters_secondary=mcs, cull_tile_secondary=tile_s,
             cull_tile_primary=tile_p, rays_per_call=args.rays_per_call,
-            split_far=mc_far > 0, mc_far=mc_far or 32,
+            split_far=mc_far > 0, mc_far=mc_far or 32, max_hits_far=k_far,
         )
         steps, final = fn(key)
         np.asarray(final)                       # force the lazy axon compile

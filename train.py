@@ -178,6 +178,7 @@ def main(cfg: Config, resume: bool = False):
                    max_clusters=cfg.max_clusters,
                    split_far=getattr(cfg, "split_far", False),
                    mc_far=getattr(cfg, "mc_far", 32),
+                   max_hits_far=getattr(cfg, "max_hits_far", 0),
                    split_radius_scale=getattr(cfg, "split_radius_scale", 1.5))
     start_time = time.time()
     if first_iter > 1:
