@@ -48,12 +48,29 @@ def main():
     # secondary mc=192; the starved-ray fraction (rays that actually missed
     # dropped candidates - raytracer._starved) prints beside the number.
     # K=16 matches the reference's BUFFER_SIZE=16 k-buffer.
-    MCP, MCS = 96, 192
+    # tools/bench_render_sweep.py records its fastest STARVED~0 config to
+    # artifacts/bench_best.json; when present it overrides the default.
+    import os
+    fused_kw = dict(max_hits=16, cull_cluster=128, max_clusters=96,
+                    max_clusters_secondary=192)
+    best_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "artifacts", "bench_best.json")
+    if os.path.exists(best_path):
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from bench_render_sweep import parse_render_config
+        best = json.load(open(best_path))
+        fused_kw = dict(parse_render_config(best["mc"]),
+                        max_hits=best.get("max_hits", 16),
+                        cull_cluster=best.get("cluster", 128))
+        print(f"bench config from sweep best-honest: {best['mc']} "
+              f"(K={fused_kw['max_hits']}, cluster="
+              f"{fused_kw['cull_cluster']})", file=__import__('sys').stderr)
     if use_pallas:
         fn = lambda k: render_frame_fused(
             scene, camera, settings, k, width, height,
-            num_bounces=2, max_hits=16, cull_cluster=128, max_clusters=MCP,
-            max_clusters_secondary=MCS,
+            num_bounces=2, **fused_kw,
         )
     else:
         fn = lambda k: render_frame(
@@ -90,14 +107,13 @@ def main():
         h8 = max(16, min((height // 8) // 16 * 16, 65536 // width // 16 * 16))
         eighth = render_frame_fused(
             scene, camera, settings, key, width, h8,
-            num_bounces=2, max_hits=16, cull_cluster=128, max_clusters=MCP, max_clusters_secondary=MCS)
+            num_bounces=2, **fused_kw)
         np.asarray(eighth[1])
         t0 = time.perf_counter()
         for i in range(iters):
             eighth = render_frame_fused(
                 scene, camera, settings, jax.random.fold_in(key, i),
-                width, h8, num_bounces=2, max_hits=16,
-                cull_cluster=128, max_clusters=MCP, max_clusters_secondary=MCS)
+                width, h8, num_bounces=2, **fused_kw)
         np.asarray(eighth[1])
         dt8 = (time.perf_counter() - t0) / iters
         proj8 = 8 * width * h8 / dt8 / 1e6

@@ -20,6 +20,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def parse_render_config(cfg: str):
+    """'mcp:mcs[:tile_s[:tile_p]][:sN[:kM]]' -> kwargs dict for
+    render_frame_fused (shared by bench.py to consume the sweep's
+    best-honest pick)."""
+    raw = cfg.split(":")
+    mc_far, k_far = 0, 0
+    if raw and raw[-1].startswith("k"):
+        k_far = int(raw.pop()[1:])
+    if raw and raw[-1].startswith("s"):
+        mc_far = int(raw.pop()[1:])
+    parts = [int(x) for x in raw]
+    return dict(
+        max_clusters=parts[0],
+        max_clusters_secondary=parts[1],
+        cull_tile_secondary=parts[2] if len(parts) > 2 else 256,
+        cull_tile_primary=parts[3] if len(parts) > 3 else 256,
+        split_far=mc_far > 0,
+        mc_far=mc_far or 32,
+        max_hits_far=k_far,
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
@@ -69,23 +91,12 @@ def main():
 
     results = []
     for cfg in args.configs.split(","):
-        raw = cfg.split(":")
-        mc_far, k_far = 0, 0
-        if raw and raw[-1].startswith("k"):
-            k_far = int(raw.pop()[1:])
-        if raw and raw[-1].startswith("s"):
-            mc_far = int(raw.pop()[1:])
-        parts = [int(x) for x in raw]
-        mcp, mcs = parts[0], parts[1]
-        tile_s = parts[2] if len(parts) > 2 else 256
-        tile_p = parts[3] if len(parts) > 3 else 256
+        cfg_kw = parse_render_config(cfg)
         fn = lambda k: render_frame_fused(
             scene, camera, settings, k, W, H,
             num_bounces=2, max_hits=args.max_hits,
-            cull_cluster=args.cluster, max_clusters=mcp,
-            max_clusters_secondary=mcs, cull_tile_secondary=tile_s,
-            cull_tile_primary=tile_p, rays_per_call=args.rays_per_call,
-            split_far=mc_far > 0, mc_far=mc_far or 32, max_hits_far=k_far,
+            cull_cluster=args.cluster,
+            rays_per_call=args.rays_per_call, **cfg_kw,
         )
         steps, final = fn(key)
         np.asarray(final)                       # force the lazy axon compile
@@ -106,6 +117,20 @@ def main():
     best = max((r for r in results if max(r["starved"]) < 0.005),
                key=lambda r: r["mrays"], default=None)
     print(json.dumps({"best_honest": best}))
+    if best is not None:
+        # record for bench.py: it adopts the fastest honest config found so
+        # far (only if faster than any previously recorded one)
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "artifacts", "bench_best.json")
+        try:
+            prev = json.load(open(path))
+        except (OSError, ValueError):
+            prev = None
+        if prev is None or best["mrays"] > prev.get("mrays", 0):
+            rec = dict(best, max_hits=args.max_hits, cluster=args.cluster)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            json.dump(rec, open(path, "w"))
+            print(f"bench_best.json updated: {rec}", file=sys.stderr)
 
 
 if __name__ == "__main__":
