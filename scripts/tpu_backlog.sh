@@ -66,8 +66,13 @@ if [ -d "$DATASET" ]; then
     -m /tmp/ab_fast -r 256 --iterations 1000 --no_bounces_until_iter 750 \
     --test_iterations 1000 --save_iterations 1000 --backend pallas \
     --max_hits 16 --max_clusters 96
+  run ab_split 7200 env NO_WORKERS=1 python train.py -s "$DATASET" \
+    -m /tmp/ab_split -r 256 --iterations 1000 --no_bounces_until_iter 750 \
+    --test_iterations 1000 --save_iterations 1000 --backend pallas \
+    --max_hits 16 --max_clusters 96 --split_far --mc_far 32
   cp /tmp/ab_default/test_validation_scores.csv "$OUT/ab_default_scores.csv" || true
   cp /tmp/ab_fast/test_validation_scores.csv "$OUT/ab_fast_scores.csv" || true
+  cp /tmp/ab_split/test_validation_scores.csv "$OUT/ab_split_scores.csv" || true
 fi
 
 # 5. viewer FPS trace (service in background, client drives 30 frames)
