@@ -250,3 +250,142 @@ def sharded_render(
     if ray_inv is not None:
         final = final[ray_inv]
     return final
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "height", "num_bounces", "max_hits",
+                     "jitter", "exp_power_static", "cull_cluster",
+                     "max_clusters", "rays_per_call", "interpret",
+                     "max_clusters_secondary", "cull_tile_secondary",
+                     "cull_tile_primary", "split_far", "mc_far",
+                     "split_radius_scale", "max_hits_far"),
+)
+def sharded_render_fused(
+    mesh: Mesh,
+    scene,
+    camera: CameraParams,
+    settings: RenderSettings,
+    key,
+    width: int,
+    height: int,
+    num_bounces: int = 2,
+    max_hits: int = 32,
+    jitter: bool = True,
+    exp_power_static: float = 3.0,
+    cull_cluster: int = 256,
+    max_clusters: int = 64,
+    rays_per_call: int = 65536,
+    interpret: bool = False,
+    max_clusters_secondary: int | None = None,
+    cull_tile_secondary: int = 256,
+    cull_tile_primary: int = 256,
+    split_far: bool = False,
+    mc_far: int = 32,
+    split_radius_scale: float = 1.5,
+    max_hits_far: int = 0,
+):
+    """render_frame_fused's per-bounce fused-kernel path with rays sharded
+    over the mesh - the multi-chip rendering mode behind the v5p-8
+    throughput target (BASELINE.json), including the split-far two-pass.
+
+    Scene prep (Morton sort, cluster bounds, gpack, split sphere) and the
+    per-step GGX uniforms are computed replicated, exactly as in
+    render_frame_fused; rays + uniforms then shard over "rays" and each
+    device runs the SAME bounce core shard-locally.  Re-sorts/culling
+    become shard-local, which only changes which tile a ray shares its
+    candidate list with (conservative per ray) - with honest budgets the
+    output is identical to single-device (tests/test_sharding_fused.py).
+
+    Returns (StepOutputs [S, R, ...], final [R, 3]) in linear pixel order."""
+    from ..ops.camera_rays import primary_ray_directions
+    from ..ops.culling import cluster_bounds, morton_order, tile_pixel_order
+    from ..ops.pallas.trace_kernel import pack_frames
+    from ..renderer.raytracer import _fused_bounce_core
+    from ..scene.gaussian_scene import build_frames
+
+    n_shards = mesh.devices.size
+    frames, attrs = build_frames(
+        scene, settings.alpha_threshold, settings.exp_power,
+        settings.global_scale_factor,
+    )
+    perm = morton_order(frames)
+    frames = jax.tree_util.tree_map(lambda a: a[perm], frames)
+    attrs = jax.tree_util.tree_map(lambda a: a[perm], attrs)
+    bounds = cluster_bounds(frames, cull_cluster)
+    gpack = pack_frames(frames, attrs)
+
+    tpx = int(cull_tile_primary ** 0.5)
+    assert tpx * tpx == cull_tile_primary, cull_tile_primary
+    ray_perm, ray_inv = tile_pixel_order(height, width, tpx, tpx)
+    ray_perm = jnp.asarray(ray_perm)
+    ray_inv = jnp.asarray(ray_inv)
+    key_jit, key_b = jax.random.split(key)
+    dirs = primary_ray_directions(
+        width, height, camera.fov_y, camera.c2w,
+        jitter_key=key_jit if jitter else None,
+    ).reshape(-1, 3)[ray_perm]
+    R = dirs.shape[0]
+    tile_max = max(cull_tile_primary, cull_tile_secondary)
+    R_s = R // n_shards
+    assert R % n_shards == 0 and R_s % tile_max == 0, (
+        f"H*W={R} must split into {n_shards} shards of whole "
+        f"{tile_max}-ray culling tiles")
+    rays_per_call = min(rays_per_call, R_s)
+    assert R_s % rays_per_call == 0, (R_s, rays_per_call)
+
+    num_steps = num_bounces + 1
+    live = frames.valid
+    scene_lo = jnp.min(jnp.where(live[:, None], frames.mean, jnp.inf),
+                       axis=0)
+    scene_hi = jnp.max(jnp.where(live[:, None], frames.mean, -jnp.inf),
+                       axis=0)
+    if split_far:
+        livef = live.astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(livef), 1.0)
+        split_c = jnp.sum(jnp.where(live[:, None], frames.mean, 0.0),
+                          axis=0) / cnt
+        dist_c = jnp.linalg.norm(frames.mean - split_c[None], axis=-1)
+        skey = jnp.sort(jnp.where(live, dist_c, jnp.inf))
+        n_live = jnp.sum(live.astype(jnp.int32))
+        r_med = jax.lax.dynamic_index_in_dim(
+            skey, jnp.maximum(n_live // 2, 0), keepdims=False)
+        r_split = jnp.float32(split_radius_scale) * r_med
+    else:
+        split_c = jnp.zeros((3,), jnp.float32)
+        r_split = jnp.float32(0.0)
+
+    key_t = jax.random.fold_in(key_b, 0)
+    us = []
+    for _step in range(num_steps):
+        key_t, kstep = jax.random.split(key_t)
+        us.append(jax.random.uniform(kstep, (R, 2), jnp.float32)[ray_perm])
+    us = jnp.stack(us)
+    rays_o = jnp.broadcast_to(camera.origin, (R, 3))
+
+    rep = (gpack, bounds, scene_lo, scene_hi, split_c, r_split)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P("rays"), P("rays"), P(None, "rays")),
+        out_specs=(P(None, "rays"), P("rays")),
+        check_vma=False,
+    )
+    def fwd(rep, ro_s, rd_s, us_s):
+        gpack, bounds, scene_lo, scene_hi, split_c, r_split = rep
+        return _fused_bounce_core(
+            ro_s, rd_s, us_s, gpack, bounds, scene_lo, scene_hi,
+            split_c, r_split, settings, camera.znear, camera.zfar,
+            capacity=scene.capacity, num_bounces=num_bounces,
+            max_hits=max_hits, exp_power_static=exp_power_static,
+            cull_cluster=cull_cluster, max_clusters=max_clusters,
+            rays_per_call=rays_per_call, interpret=interpret,
+            max_clusters_secondary=max_clusters_secondary,
+            cull_tile_secondary=cull_tile_secondary,
+            cull_tile_primary=cull_tile_primary, split_far=split_far,
+            mc_far=mc_far, max_hits_far=max_hits_far,
+        )
+
+    stacked, final = fwd(rep, rays_o, dirs, us)
+    stacked = jax.tree_util.tree_map(lambda a: a[:, ray_inv], stacked)
+    return stacked, final[ray_inv]

@@ -778,6 +778,263 @@ def render_frame(
     return steps, final
 
 
+def _fused_bounce_core(
+    rays_o, rays_d, us, gpack, bounds, scene_lo, scene_hi,
+    split_c, r_split, settings, znear, zfar, *,
+    capacity: int, num_bounces: int, max_hits: int,
+    exp_power_static: float, cull_cluster: int, max_clusters: int,
+    rays_per_call: int, interpret: bool,
+    max_clusters_secondary: int | None, cull_tile_secondary: int,
+    cull_tile_primary: int, split_far: bool, mc_far: int,
+    max_hits_far: int,
+):
+    """The fused per-bounce wavefront loop over a PREPARED ray batch.
+
+    Shared by render_frame_fused (whole frame, single device) and
+    parallel.sharding.sharded_render_fused (rays sharded over a mesh -
+    inside shard_map every re-sort/culling decision is shard-local, which
+    only changes which tile a ray shares its candidate list with; culling
+    is conservative per ray, so with honest budgets the result is
+    IDENTICAL to the single-device path - asserted in tests).
+
+    `rays_o`/`rays_d` are tile-ordered and padded to a multiple of
+    rays_per_call; `us` is [num_steps, R, 2] of per-step GGX uniforms
+    (pre-drawn so the sample stream is layout-independent); `split_c` /
+    `r_split` define the split sphere when split_far (zeros otherwise).
+    Returns (StepOutputs [S, R, ...], final [R, 3]) in the given order."""
+    from ..ops.culling import morton_codes, select_candidates
+    from ..ops.pallas.render_kernel import unpack_composite
+    from ..ops.pallas.render_kernel_v3 import (
+        pallas_render_culled_v3,
+        pallas_render_culled_v4,
+        resident_fits,
+    )
+
+    Rp = rays_o.shape[0]
+    rays_per_call = min(rays_per_call, Rp)
+    assert Rp % rays_per_call == 0, (Rp, rays_per_call)
+    n_call = Rp // rays_per_call
+    alive = jnp.ones((Rp,), bool)
+    throughput = jnp.ones((Rp, 3), jnp.float32)
+    outs = []
+    num_steps = num_bounces + 1
+
+    def split_exit_t(ro, rd):
+        """Per-ray exit distance of the split sphere (same t-parameter as
+        the kernel's unnormalized-direction intersection).  Rays that miss
+        the sphere (origin outside, heading away) get 0: everything on
+        them composites in the far pass."""
+        oc = ro - split_c[None]
+        a2 = jnp.sum(rd * rd, axis=-1)
+        b = jnp.sum(rd * oc, axis=-1)
+        cc = jnp.sum(oc * oc, axis=-1) - r_split * r_split
+        disc = b * b - a2 * cc
+        t = jnp.where(
+            disc > 0,
+            (-b + jnp.sqrt(jnp.maximum(disc, 0.0)))
+            / jnp.maximum(a2, 1e-30),
+            0.0,
+        )
+        return jnp.maximum(t, 0.0)
+
+    for step in range(num_steps):
+        near = znear if step == 0 else jnp.zeros_like(znear)
+        if step > 0:
+            # Reflected rays are incoherent within pixel tiles (wide bounding
+            # cones -> ~3x more candidate clusters).  Re-tile them by
+            # (liveness, origin Morton cell, direction bin) so cones stay
+            # tight and fully-dead tiles skip instantly - the wavefront
+            # substitute for the per-ray BVH traversal the reference gets.
+            pos_bits = morton_codes(rays_o, scene_lo, scene_hi, bits=5)
+            qd = jnp.clip(((rays_d * 0.5 + 0.5) * 4.0), 0, 3).astype(
+                jnp.uint32)
+            dir_bits = (qd[:, 0] << 4) | (qd[:, 1] << 2) | qd[:, 2]
+            keys = (
+                jnp.where(alive, jnp.uint32(0), jnp.uint32(1 << 26))
+                | (pos_bits << 6) | dir_bits
+            )
+            order = jnp.argsort(keys)
+            inv_order = jnp.zeros_like(order).at[order].set(
+                jnp.arange(Rp, dtype=order.dtype))
+            rays_o_k = rays_o[order]
+            rays_d_k = rays_d[order]
+            alive_k = alive[order]
+        else:
+            order = inv_order = None
+            rays_o_k, rays_d_k, alive_k = rays_o, rays_d, alive
+        # GGX secondary rays have wider per-tile cones (cand/tile ~85 vs ~43
+        # primary on the bench room) - a per-pass cap keeps the primary pass
+        # cheap while sizing the secondary list so overflow stays ~0
+        mc_step = (max_clusters if step == 0 or max_clusters_secondary is None
+                   else max_clusters_secondary)
+        # smaller secondary tiles tighten the cone UNION each tile pays for
+        # (the tile-granularity analog of the reference's per-ray BVH
+        # traversal) - after the Morton/direction re-sort, a secondary
+        # "tile" is just a run of coherent rays, so its size is free to
+        # shrink; primary tiles stay 16x16 pixels
+        tile_step = cull_tile_primary if step == 0 else cull_tile_secondary
+
+        def run_pass(ro_k, rd_k, al_k, ts_k, cull_near, cull_far, mc_p,
+                     tile_p, wmode, inv_p, K_p=max_hits):
+            """One culled kernel pass over the (ordered) wavefront; returns
+            (composite dict, per-ray raw-overflow) in CANONICAL order."""
+            cands, cnear, num, ovf = select_candidates(
+                rays_o=ro_k, rays_d=rd_k, bounds=bounds,
+                near=cull_near, far=cull_far,
+                tile=tile_p, max_clusters=mc_p,
+            )
+            ovf_ray = jnp.repeat(ovf.astype(jnp.float32), tile_p)
+            mc = cands.shape[1]
+            tpc = rays_per_call // tile_p    # tiles per kernel call
+
+            def one_call(args):
+                ro, rd, al, ts, cd, cn, nm = args
+                # VMEM-resident kernel when the packed scene fits on-chip
+                # (no per-chunk HBM fetches - the measured v3 bottleneck);
+                # streaming v3 otherwise
+                kern = (pallas_render_culled_v4
+                        if resident_fits(capacity)
+                        else pallas_render_culled_v3)
+                out = kern(
+                    ro, rd, gpack, cd, cn, nm, near, zfar,
+                    exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
+                    settings.backfacing_max_dist,
+                    settings.backfacing_invalid_normal_threshold,
+                    transmittance_threshold=settings.transmittance_threshold,
+                    eps_forward_normalization=(
+                        settings.eps_forward_normalization),
+                    max_hits=K_p, cluster=cull_cluster, tile=tile_p,
+                    interpret=interpret, alive=al,
+                    t_split=ts, window_mode=wmode,
+                )
+                return out
+
+            out = jax.lax.map(one_call, (
+                ro_k.reshape(n_call, rays_per_call, 3),
+                rd_k.reshape(n_call, rays_per_call, 3),
+                al_k.reshape(n_call, rays_per_call),
+                ts_k.reshape(n_call, rays_per_call),
+                cands.reshape(n_call, tpc, mc),
+                cnear.reshape(n_call, tpc, mc),
+                num.reshape(n_call, tpc),
+            ))
+            out = out.reshape(Rp, -1)
+            if inv_p is not None:
+                out = out[inv_p]
+                ovf_ray = ovf_ray[inv_p]
+            return unpack_composite(out), ovf_ray
+
+        if not split_far:
+            zeros_ts = jnp.zeros((Rp,), jnp.float32)
+            comp, ovf_ray = run_pass(
+                rays_o_k, rays_d_k, alive_k, zeros_ts, near, zfar,
+                mc_step, tile_step, 0, inv_order,
+            )
+            starved_step = _starved(ovf_ray, comp["full_T"], alive,
+                                    settings.transmittance_threshold)
+        else:
+            ts = split_exit_t(rays_o, rays_d)
+            ts_k = ts[order] if order is not None else ts
+            # near pass: per-tile depth window capped at the tile's largest
+            # split distance (shell clusters cull out of the window)
+            far_n = jnp.max(ts_k.reshape(-1, tile_step), axis=1)
+            comp_n, ovf_n = run_pass(
+                rays_o_k, rays_d_k, alive_k, ts_k, near, far_n,
+                mc_step, tile_step, 1, inv_order,
+            )
+            # far pass: saturated rays are dead; secondary rays re-sort by
+            # DIRECTION (the shell is at near-constant distance, so a
+            # direction-coherent tile's cone sees only a few shell clusters)
+            alive_f = alive & (comp_n["full_T"] >
+                               settings.transmittance_threshold)
+            if step > 0:
+                dirm = morton_codes(rays_d, -jnp.ones(3), jnp.ones(3),
+                                    bits=5)
+                posm = morton_codes(rays_o, scene_lo, scene_hi, bits=2)
+                keys_f = (
+                    jnp.where(alive_f, jnp.uint32(0), jnp.uint32(1 << 26))
+                    | (dirm << 6) | posm
+                )
+                order_f = jnp.argsort(keys_f)
+                inv_f = jnp.zeros_like(order_f).at[order_f].set(
+                    jnp.arange(Rp, dtype=order_f.dtype))
+                ro_f = rays_o[order_f]
+                rd_f = rays_d[order_f]
+                al_f = alive_f[order_f]
+                ts_f = ts[order_f]
+            else:
+                inv_f = None
+                ro_f, rd_f, al_f, ts_f = rays_o, rays_d, alive_f, ts
+            near_f = jnp.min(ts_f.reshape(-1, tile_step), axis=1)
+            comp_f, ovf_f = run_pass(
+                ro_f, rd_f, al_f, ts_f, near_f, zfar,
+                mc_far, tile_step, 2, inv_f,
+                K_p=max_hits_far or max_hits,
+            )
+            # exact combine: every far hit is behind every near hit, so the
+            # far pass composites into the near pass's remaining
+            # transmittance (linear in the per-hit weights -> all
+            # accumulated attributes combine the same way)
+            fTn = comp_n["full_T"]
+            comp = dict(
+                rgb=comp_n["rgb"] + fTn[:, None] * comp_f["rgb"],
+                normal=comp_n["normal"] + fTn[:, None] * comp_f["normal"],
+                f0=comp_n["f0"] + fTn[:, None] * comp_f["f0"],
+                roughness=comp_n["roughness"] + fTn * comp_f["roughness"],
+                depth=comp_n["depth"] + fTn * comp_f["depth"],
+                T_final=comp_n["T_final"] * comp_f["T_final"],
+                full_T=fTn * comp_f["full_T"],
+            )
+            starved_step = jnp.maximum(
+                _starved(ovf_n, comp_n["full_T"], alive,
+                         settings.transmittance_threshold),
+                _starved(ovf_f, comp["full_T"], alive_f,
+                         settings.transmittance_threshold),
+            )
+
+        rgb_step = (comp["rgb"] if step == 0
+                    else comp["rgb"] * throughput)
+        nlen = jnp.linalg.norm(comp["normal"], axis=-1)
+        eff_normal = comp["normal"] / jnp.maximum(nlen, 1e-20)[:, None]
+        eff_roughness = jnp.maximum(comp["roughness"],
+                                    settings.eps_min_roughness)
+        next_alive = alive & (
+            nlen >= settings.reflection_invalid_normal_threshold
+        )
+        u = us[step]
+        eff_position = rays_o + comp["depth"][:, None] * rays_d
+        next_dir = ggx.sample_cook_torrance(
+            eff_normal, -rays_d, eff_roughness, u
+        )
+        next_origin = eff_position + settings.eps_ray_surface_offset * next_dir
+        w = ggx.cook_torrance_weight(
+            eff_normal, -rays_d, next_dir, eff_roughness, comp["f0"]
+        )
+        next_throughput = jnp.where(
+            next_alive[:, None], throughput * jnp.nan_to_num(w), 0.0
+        )
+        outs.append(
+            dict(
+                rgb=rgb_step, normal=comp["normal"], f0=comp["f0"],
+                roughness=comp["roughness"], depth=comp["depth"],
+                transmittance=comp["T_final"],
+                total_transmittance=comp["full_T"],
+                throughput=next_throughput,
+                alive=alive.astype(jnp.float32),
+                overflow=starved_step,
+            )
+        )
+        rays_o, rays_d = next_origin, next_dir
+        throughput = next_throughput
+        alive = next_alive
+
+    stacked = StepOutputs(
+        **{k: jnp.stack([o[k] for o in outs], axis=0) for k in outs[0]}
+    )
+    final = jnp.sum(stacked.rgb, axis=0)
+    return stacked, final
+
+
 @partial(
     jax.jit,
     static_argnames=("width", "height", "num_bounces", "max_hits", "jitter",
@@ -839,14 +1096,7 @@ def render_frame_fused(
     from ..ops.culling import (
         cluster_bounds,
         morton_order,
-        select_candidates,
         tile_pixel_order,
-    )
-    from ..ops.pallas.render_kernel import unpack_composite
-    from ..ops.pallas.render_kernel_v3 import (
-        pallas_render_culled_v3,
-        pallas_render_culled_v4,
-        resident_fits,
     )
     from ..ops.pallas.trace_kernel import pack_frames
 
@@ -883,14 +1133,7 @@ def render_frame_fused(
     Rp = n_call * rays_per_call
 
     rays_o = jnp.broadcast_to(camera.origin, (Rp, 3))
-    rays_d = dirs
-    alive = jnp.ones((Rp,), bool)
-    throughput = jnp.ones((Rp, 3), jnp.float32)
-    outs = []
     num_steps = num_bounces + 1
-    # same RNG stream as render_frame with a single ray tile (fold tile 0,
-    # split per step) so the two paths are comparable bit-for-bit in tests
-    key_t = jax.random.fold_in(key_b, 0)
 
     # scene bbox for secondary-ray coherence sorting
     live = frames.valid
@@ -914,227 +1157,35 @@ def render_frame_fused(
         r_med = jax.lax.dynamic_index_in_dim(
             skey, jnp.maximum(n_live // 2, 0), keepdims=False)
         r_split = jnp.float32(split_radius_scale) * r_med
+    else:
+        split_c = jnp.zeros((3,), jnp.float32)
+        r_split = jnp.float32(0.0)
 
-        def split_exit_t(ro, rd):
-            """Per-ray exit distance of the split sphere (same t-parameter
-            as the kernel's unnormalized-direction intersection).  Rays
-            that miss the sphere (origin outside, heading away) get 0:
-            everything on them composites in the far pass."""
-            oc = ro - split_c[None]
-            a2 = jnp.sum(rd * rd, axis=-1)
-            b = jnp.sum(rd * oc, axis=-1)
-            cc = jnp.sum(oc * oc, axis=-1) - r_split * r_split
-            disc = b * b - a2 * cc
-            t = jnp.where(
-                disc > 0,
-                (-b + jnp.sqrt(jnp.maximum(disc, 0.0)))
-                / jnp.maximum(a2, 1e-30),
-                0.0,
-            )
-            return jnp.maximum(t, 0.0)
-
-    for step in range(num_steps):
-        near = camera.znear if step == 0 else jnp.zeros_like(camera.znear)
-        if step > 0:
-            # Reflected rays are incoherent within pixel tiles (wide bounding
-            # cones -> ~3x more candidate clusters).  Re-tile them by
-            # (liveness, origin Morton cell, direction bin) so cones stay
-            # tight and fully-dead tiles skip instantly - the wavefront
-            # substitute for the per-ray BVH traversal the reference gets.
-            from ..ops.culling import morton_codes
-            pos_bits = morton_codes(rays_o, scene_lo, scene_hi, bits=5)
-            qd = jnp.clip(((rays_d * 0.5 + 0.5) * 4.0), 0, 3).astype(
-                jnp.uint32)
-            dir_bits = (qd[:, 0] << 4) | (qd[:, 1] << 2) | qd[:, 2]
-            keys = (
-                jnp.where(alive, jnp.uint32(0), jnp.uint32(1 << 26))
-                | (pos_bits << 6) | dir_bits
-            )
-            order = jnp.argsort(keys)
-            inv_order = jnp.zeros_like(order).at[order].set(
-                jnp.arange(Rp, dtype=order.dtype))
-            rays_o_k = rays_o[order]
-            rays_d_k = rays_d[order]
-            alive_k = alive[order]
-        else:
-            order = inv_order = None
-            rays_o_k, rays_d_k, alive_k = rays_o, rays_d, alive
-        # GGX secondary rays have wider per-tile cones (cand/tile ~85 vs ~43
-        # primary on the bench room) - a per-pass cap keeps the primary pass
-        # cheap while sizing the secondary list so overflow stays ~0
-        mc_step = (max_clusters if step == 0 or max_clusters_secondary is None
-                   else max_clusters_secondary)
-        # smaller secondary tiles tighten the cone UNION each tile pays for
-        # (the tile-granularity analog of the reference's per-ray BVH
-        # traversal) - after the Morton/direction re-sort, a secondary
-        # "tile" is just a run of coherent rays, so its size is free to
-        # shrink; primary tiles stay 16x16 pixels
-        tile_step = cull_tile_primary if step == 0 else cull_tile_secondary
-
-        def run_pass(ro_k, rd_k, al_k, ts_k, cull_near, cull_far, mc_p,
-                     tile_p, wmode, inv_p, K_p=max_hits):
-            """One culled kernel pass over the (ordered) wavefront; returns
-            (composite dict, per-ray raw-overflow) in CANONICAL order."""
-            cands, cnear, num, ovf = select_candidates(
-                rays_o=ro_k, rays_d=rd_k, bounds=bounds,
-                near=cull_near, far=cull_far,
-                tile=tile_p, max_clusters=mc_p,
-            )
-            ovf_ray = jnp.repeat(ovf.astype(jnp.float32), tile_p)
-            mc = cands.shape[1]
-            tpc = rays_per_call // tile_p    # tiles per kernel call
-
-            def one_call(args):
-                ro, rd, al, ts, cd, cn, nm = args
-                # VMEM-resident kernel when the packed scene fits on-chip
-                # (no per-chunk HBM fetches - the measured v3 bottleneck);
-                # streaming v3 otherwise
-                kern = (pallas_render_culled_v4
-                        if resident_fits(scene.capacity)
-                        else pallas_render_culled_v3)
-                out = kern(
-                    ro, rd, gpack, cd, cn, nm, near, camera.zfar,
-                    exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
-                    settings.backfacing_max_dist,
-                    settings.backfacing_invalid_normal_threshold,
-                    transmittance_threshold=settings.transmittance_threshold,
-                    eps_forward_normalization=(
-                        settings.eps_forward_normalization),
-                    max_hits=K_p, cluster=cull_cluster, tile=tile_p,
-                    interpret=interpret, alive=al,
-                    t_split=ts, window_mode=wmode,
-                )
-                return out
-
-            out = jax.lax.map(one_call, (
-                ro_k.reshape(n_call, rays_per_call, 3),
-                rd_k.reshape(n_call, rays_per_call, 3),
-                al_k.reshape(n_call, rays_per_call),
-                ts_k.reshape(n_call, rays_per_call),
-                cands.reshape(n_call, tpc, mc),
-                cnear.reshape(n_call, tpc, mc),
-                num.reshape(n_call, tpc),
-            ))
-            out = out.reshape(Rp, -1)
-            if inv_p is not None:
-                out = out[inv_p]
-                ovf_ray = ovf_ray[inv_p]
-            return unpack_composite(out), ovf_ray
-
-        if not split_far:
-            zeros_ts = jnp.zeros((Rp,), jnp.float32)
-            comp, ovf_ray = run_pass(
-                rays_o_k, rays_d_k, alive_k, zeros_ts, near, camera.zfar,
-                mc_step, tile_step, 0, inv_order,
-            )
-            starved_step = _starved(ovf_ray, comp["full_T"], alive,
-                                    settings.transmittance_threshold)
-        else:
-            ts = split_exit_t(rays_o, rays_d)
-            ts_k = ts[order] if order is not None else ts
-            # near pass: per-tile depth window capped at the tile's largest
-            # split distance (shell clusters cull out of the window)
-            far_n = jnp.max(ts_k.reshape(-1, tile_step), axis=1)
-            comp_n, ovf_n = run_pass(
-                rays_o_k, rays_d_k, alive_k, ts_k, near, far_n,
-                mc_step, tile_step, 1, inv_order,
-            )
-            # far pass: saturated rays are dead; secondary rays re-sort by
-            # DIRECTION (the shell is at near-constant distance, so a
-            # direction-coherent tile's cone sees only a few shell clusters)
-            alive_f = alive & (comp_n["full_T"] >
-                               settings.transmittance_threshold)
-            if step > 0:
-                from ..ops.culling import morton_codes
-                dirm = morton_codes(rays_d, -jnp.ones(3), jnp.ones(3),
-                                    bits=5)
-                posm = morton_codes(rays_o, scene_lo, scene_hi, bits=2)
-                keys_f = (
-                    jnp.where(alive_f, jnp.uint32(0), jnp.uint32(1 << 26))
-                    | (dirm << 6) | posm
-                )
-                order_f = jnp.argsort(keys_f)
-                inv_f = jnp.zeros_like(order_f).at[order_f].set(
-                    jnp.arange(Rp, dtype=order_f.dtype))
-                ro_f = rays_o[order_f]
-                rd_f = rays_d[order_f]
-                al_f = alive_f[order_f]
-                ts_f = ts[order_f]
-            else:
-                order_f = inv_f = None
-                ro_f, rd_f, al_f, ts_f = rays_o, rays_d, alive_f, ts
-            near_f = jnp.min(ts_f.reshape(-1, tile_step), axis=1)
-            comp_f, ovf_f = run_pass(
-                ro_f, rd_f, al_f, ts_f, near_f, camera.zfar,
-                mc_far, tile_step, 2, inv_f,
-                K_p=max_hits_far or max_hits,
-            )
-            # exact combine: every far hit is behind every near hit, so the
-            # far pass composites into the near pass's remaining
-            # transmittance (linear in the per-hit weights -> all
-            # accumulated attributes combine the same way)
-            fTn = comp_n["full_T"]
-            comp = dict(
-                rgb=comp_n["rgb"] + fTn[:, None] * comp_f["rgb"],
-                normal=comp_n["normal"] + fTn[:, None] * comp_f["normal"],
-                f0=comp_n["f0"] + fTn[:, None] * comp_f["f0"],
-                roughness=comp_n["roughness"] + fTn * comp_f["roughness"],
-                depth=comp_n["depth"] + fTn * comp_f["depth"],
-                T_final=comp_n["T_final"] * comp_f["T_final"],
-                full_T=fTn * comp_f["full_T"],
-            )
-            starved_step = jnp.maximum(
-                _starved(ovf_n, comp_n["full_T"], alive,
-                         settings.transmittance_threshold),
-                _starved(ovf_f, comp["full_T"], alive_f,
-                         settings.transmittance_threshold),
-            )
-
-        rgb_step = (comp["rgb"] if step == 0
-                    else comp["rgb"] * throughput)
-        nlen = jnp.linalg.norm(comp["normal"], axis=-1)
-        eff_normal = comp["normal"] / jnp.maximum(nlen, 1e-20)[:, None]
-        eff_roughness = jnp.maximum(comp["roughness"],
-                                    settings.eps_min_roughness)
-        next_alive = alive & (
-            nlen >= settings.reflection_invalid_normal_threshold
-        )
+    # per-step GGX uniforms drawn in linear pixel order then tile-permuted:
+    # each PIXEL consumes the same randomness as render_frame (bit-for-bit
+    # comparable in tests), and the pre-drawn [S, R, 2] block makes the
+    # bounce core layout-independent (shardable over rays)
+    key_t = jax.random.fold_in(key_b, 0)
+    us = []
+    for _step in range(num_steps):
         key_t, kstep = jax.random.split(key_t)
-        # draw in linear pixel order, then permute into tile order, so each
-        # PIXEL consumes the same randomness as in render_frame
         u = jax.random.uniform(kstep, (R, 2), jnp.float32)[ray_perm]
         if pad:
             u = jnp.concatenate([u, u[:pad]], axis=0)
-        eff_position = rays_o + comp["depth"][:, None] * rays_d
-        next_dir = ggx.sample_cook_torrance(
-            eff_normal, -rays_d, eff_roughness, u
-        )
-        next_origin = eff_position + settings.eps_ray_surface_offset * next_dir
-        w = ggx.cook_torrance_weight(
-            eff_normal, -rays_d, next_dir, eff_roughness, comp["f0"]
-        )
-        next_throughput = jnp.where(
-            next_alive[:, None], throughput * jnp.nan_to_num(w), 0.0
-        )
-        outs.append(
-            dict(
-                rgb=rgb_step, normal=comp["normal"], f0=comp["f0"],
-                roughness=comp["roughness"], depth=comp["depth"],
-                transmittance=comp["T_final"],
-                total_transmittance=comp["full_T"],
-                throughput=next_throughput,
-                alive=alive.astype(jnp.float32),
-                overflow=starved_step,
-            )
-        )
-        rays_o, rays_d = next_origin, next_dir
-        throughput = next_throughput
-        alive = next_alive
+        us.append(u)
+    us = jnp.stack(us)
 
-    stacked = StepOutputs(
-        **{k: jnp.stack([o[k] for o in outs], axis=0) for k in outs[0]}
+    stacked, final = _fused_bounce_core(
+        rays_o, dirs, us, gpack, bounds, scene_lo, scene_hi,
+        split_c, r_split, settings, camera.znear, camera.zfar,
+        capacity=scene.capacity, num_bounces=num_bounces, max_hits=max_hits,
+        exp_power_static=exp_power_static, cull_cluster=cull_cluster,
+        max_clusters=max_clusters, rays_per_call=rays_per_call,
+        interpret=interpret, max_clusters_secondary=max_clusters_secondary,
+        cull_tile_secondary=cull_tile_secondary,
+        cull_tile_primary=cull_tile_primary, split_far=split_far,
+        mc_far=mc_far, max_hits_far=max_hits_far,
     )
-    final = jnp.sum(stacked.rgb, axis=0)
     unpad = jax.tree_util.tree_map(lambda a: a[:, :R][:, ray_inv], stacked)
     return unpad, final[:R][ray_inv]
 
