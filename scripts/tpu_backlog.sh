@@ -42,6 +42,12 @@ run render_sweep_split 3600 python tools/bench_render_sweep.py \
 run render_sweep_split_c64 3600 python tools/bench_render_sweep.py \
   --cluster 64 --configs "96:96:256:256:s48,96:128:128:256:s48,128:128:128:256:s48"
 
+# 1d. 8x8 PRIMARY pixel tiles (tile_p=64): tighter primary cones; the
+#     primary pass is ~1/3 of the frame and its cand/tile ~43 at 16x16
+run render_sweep_tp64 3600 python tools/bench_render_sweep.py \
+  --configs "96:192:256:64,64:64:128:64:s32,96:96:128:64:s48" \
+  --rays_per_call 16384
+
 # 2. bench.py (honest 96:192 config)
 run bench 1800 python bench.py
 
