@@ -107,6 +107,40 @@ def test_candidates_sorted_by_near_distance():
     assert np.all(np.diff(cn, axis=1) >= 0.0)
 
 
+def test_per_tile_depth_windows_match_scalar():
+    """select_candidates accepts per-tile [T] near/far arrays (the split-far
+    passes bound each tile's depth window by the rays' split distances);
+    constant arrays must reproduce the scalar-window result exactly, and a
+    tighter far bound must select a subset."""
+    from editable_gaussian_reflections_tpu.ops.culling import (
+        cluster_bounds,
+        select_candidates,
+    )
+
+    scene = make_scene(n=240, seed=9)
+    frames, _ = build_frames(scene, 0.005, 3.0)
+    o, d = rays(r=32, seed=10)
+    bounds = cluster_bounds(frames, 16)
+    T = 32 // 16
+    c0, n0, num0, ovf0 = select_candidates(
+        o, d, bounds, jnp.float32(0.1), jnp.float32(100.0),
+        tile=16, max_clusters=8)
+    c1, n1, num1, ovf1 = select_candidates(
+        o, d, bounds, jnp.full((T,), 0.1, jnp.float32),
+        jnp.full((T,), 100.0, jnp.float32), tile=16, max_clusters=8)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(num0), np.asarray(num1))
+
+    c2, _, num2, _ = select_candidates(
+        o, d, bounds, jnp.float32(0.1), jnp.full((T,), 2.0, jnp.float32),
+        tile=16, max_clusters=8)
+    assert np.all(np.asarray(num2) <= np.asarray(num0))
+    for t in range(T):
+        got = set(np.asarray(c2[t])) - {-1}
+        allc = set(np.asarray(c0[t])) - {-1}
+        assert got <= allc
+
+
 def test_starved_flags_only_unsaturated_alive_rays():
     from editable_gaussian_reflections_tpu.renderer.raytracer import _starved
 
