@@ -57,6 +57,11 @@ def gaussian_sharded_trace(
     max_hits: int = 32,
     chunk: int = 2048,
     axis: str = "gauss",
+    use_pallas: bool = False,
+    cull_cluster: int = 256,
+    cull_tile: int = 256,
+    max_clusters: int = 64,
+    interpret: bool = False,
 ) -> RayHits:
     """Trace with Gaussians sharded over `axis`; returns replicated RayHits
     identical to the single-device trace.
@@ -66,17 +71,78 @@ def gaussian_sharded_trace(
     alpha, gaussval, local_hit - everything RayHits carries) are all_gathered
     to [R, S*K], and the global top-K is selected per ray.  No device ever
     materializes full-scene frames or a replicated full-capacity structure
-    (the round-2 version did both - VERDICT r2 weak #6)."""
+    (the round-2 version did both - VERDICT r2 weak #6).
+
+    `use_pallas=True` runs the per-shard trace through the VMEM-resident
+    fused slots kernel (Morton sort + cluster culling + one Pallas call per
+    shard) - the 5M-scene render rides the same fast path as the
+    single-chip renderer; a 625k-Gaussian shard's gpack+ftable still fit
+    the VMEM budget (slots_resident_fits).  Falls back to the XLA tracer
+    per shard when the shard exceeds it.  Requires R % cull_tile == 0 and
+    shard capacity % cull_cluster == 0."""
     n_shards = mesh.shape[axis]
     n = scene.capacity
     R = rays_o.shape[0]
     assert n % (n_shards * chunk) == 0, (n, n_shards, chunk)
+    if use_pallas:
+        assert R % cull_tile == 0 and (n // n_shards) % cull_cluster == 0, (
+            R, cull_tile, n // n_shards, cull_cluster)
 
     scene_specs = GaussianScene(
         xyz=P(axis), scaling=P(axis), rotation=P(axis), opacity=P(axis),
         diffuse=P(axis), normal=P(axis), f0=P(axis), roughness=P(axis),
         live_mask=P(axis),
     )
+
+    def _shard_hits_xla(scene_s, o, d):
+        frames, _ = build_frames(scene_s, alpha_threshold, exp_power)
+        hits = trace_rays(o, d, frames, exp_power, near, far,
+                          max_hits=max_hits, chunk=chunk)
+        return (hits.valid, hits.t, hits.ids, hits.alpha, hits.gaussval,
+                hits.local_hit, hits.full_T, hits.num_traversed)
+
+    def _shard_hits_fused(scene_s, o, d):
+        """Per-shard Morton sort + cone culling + ONE fused slots kernel."""
+        from ..ops.culling import (
+            cluster_bounds,
+            morton_order,
+            select_candidates,
+        )
+        from ..ops.pallas.render_kernel import (
+            pack_frame_table,
+            unpack_slots,
+        )
+        from ..ops.pallas.render_kernel_v3 import (
+            pallas_trace_slots_v4,
+            slots_resident_fits,
+        )
+        from ..ops.pallas.trace_kernel import pack_frames
+
+        if not slots_resident_fits(n // n_shards):
+            return _shard_hits_xla(scene_s, o, d)
+        frames, attrs = build_frames(scene_s, alpha_threshold, exp_power)
+        perm = morton_order(frames)
+        frames_p = jax.tree_util.tree_map(lambda a: a[perm], frames)
+        attrs_p = jax.tree_util.tree_map(lambda a: a[perm], attrs)
+        scene_p = jax.tree_util.tree_map(lambda a: a[perm], scene_s)
+        bounds = cluster_bounds(frames_p, cull_cluster)
+        gpack = pack_frames(frames_p, attrs_p)
+        ftable = pack_frame_table(frames_p, scene_p)
+        cands, cnear, num, _ovf = select_candidates(
+            o, d, bounds, near, far, tile=cull_tile,
+            max_clusters=max_clusters)
+        slots, acc = pallas_trace_slots_v4(
+            o, d, gpack, ftable, cands, cnear, near, far,
+            exp_power, jnp.float32(0.0), jnp.float32(0.1),
+            jnp.float32(0.9), transmittance_threshold=1e-30,
+            max_hits=max_hits, cluster=cull_cluster, tile=cull_tile,
+            interpret=interpret)
+        hits_d, _attrs_d, _frames_d = unpack_slots(slots, acc, max_hits,
+                                                   o, d)
+        local_ids = perm[hits_d["ids"]]   # back to the shard's layout
+        return (hits_d["valid"], hits_d["t"], local_ids, hits_d["alpha"],
+                hits_d["gaussval"], hits_d["local_hit"], hits_d["full_T"],
+                hits_d["num_traversed"])
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -85,17 +151,17 @@ def gaussian_sharded_trace(
         check_vma=False,
     )
     def shard_trace(scene_s, o, d):
-        frames, _ = build_frames(scene_s, alpha_threshold, exp_power)
         shard = jax.lax.axis_index(axis)
-        hits = trace_rays(o, d, frames, exp_power, near, far,
-                          max_hits=max_hits, chunk=chunk)
+        fn = _shard_hits_fused if use_pallas else _shard_hits_xla
+        (valid_s, t_s, ids_s, alpha_s, gaussval_s, local_hit_s, full_T_s,
+         trav_s) = fn(scene_s, o, d)
         offset = shard * (n // n_shards)
         payload = dict(
-            t=jnp.where(hits.valid, hits.t, jnp.inf),
-            ids=jnp.where(hits.valid, hits.ids + offset, 0).astype(jnp.int32),
-            alpha=jnp.where(hits.valid, hits.alpha, 0.0),
-            gaussval=hits.gaussval,
-            local_hit=hits.local_hit,
+            t=jnp.where(valid_s, t_s, jnp.inf),
+            ids=jnp.where(valid_s, ids_s + offset, 0).astype(jnp.int32),
+            alpha=jnp.where(valid_s, alpha_s, 0.0),
+            gaussval=gaussval_s,
+            local_hit=local_hit_s,
         )
         gath = jax.tree_util.tree_map(
             lambda a: jax.lax.all_gather(a, axis, axis=1)
@@ -108,8 +174,8 @@ def gaussian_sharded_trace(
         m = jax.tree_util.tree_map(take, gath)
         valid = jnp.isfinite(m["t"])
         log_full_T = jax.lax.psum(
-            jnp.log(jnp.maximum(hits.full_T, 1e-37)), axis)
-        trav = jax.lax.psum(hits.num_traversed, axis)
+            jnp.log(jnp.maximum(full_T_s, 1e-37)), axis)
+        trav = jax.lax.psum(trav_s, axis)
         return RayHits(
             ids=jnp.where(valid, m["ids"], 0),
             t=jnp.where(valid, m["t"], 0.0),

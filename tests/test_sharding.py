@@ -65,6 +65,50 @@ def test_gaussian_sharded_trace_matches_single_device():
                                rtol=1e-4)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
+def test_gaussian_sharded_trace_fused_matches_xla():
+    """use_pallas=True routes each shard through the VMEM-resident fused
+    slots kernel (Morton sort + cone culling per shard); with conservative
+    culling and a non-saturating threshold the merged hits equal the XLA
+    per-shard trace exactly."""
+    from jax.sharding import Mesh
+    from editable_gaussian_reflections_tpu.parallel.gaussian_sharded import (
+        gaussian_sharded_trace,
+    )
+
+    n_dev = len(jax.devices())
+    scene = make_scene(pad_multiple=2048 * n_dev)
+    R = 256
+    rng = np.random.default_rng(2)
+    o = jnp.zeros((R, 3))
+    d_np = rng.normal(size=(R, 3))
+    d_np[:, 2] = np.abs(d_np[:, 2]) + 0.8
+    d = jnp.asarray(
+        (d_np / np.linalg.norm(d_np, axis=1, keepdims=True)).astype(
+            np.float32))
+    near, far = jnp.float32(0.1), jnp.float32(60.0)
+
+    mesh = Mesh(np.array(jax.devices()), ("gauss",))
+    h_xla = gaussian_sharded_trace(mesh, scene, o, d, 3.0, near, far,
+                                   max_hits=16, chunk=2048)
+    h_f = gaussian_sharded_trace(mesh, scene, o, d, 3.0, near, far,
+                                 max_hits=16, chunk=2048, use_pallas=True,
+                                 cull_cluster=256, cull_tile=256,
+                                 max_clusters=8, interpret=True)
+    vf, vx = np.asarray(h_f.valid), np.asarray(h_xla.valid)
+    np.testing.assert_array_equal(vf.sum(1), vx.sum(1))
+    np.testing.assert_allclose(
+        np.where(vf, np.asarray(h_f.t), 0),
+        np.where(vx, np.asarray(h_xla.t), 0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.where(vf, np.asarray(h_f.ids), -1),
+        np.where(vx, np.asarray(h_xla.ids), -1))
+    # full_T accumulates log1p(-alpha) in per-chunk order inside the kernel
+    # vs one big sum in the XLA path: reassociation-level differences only
+    np.testing.assert_allclose(np.asarray(h_f.full_T),
+                               np.asarray(h_xla.full_T), rtol=5e-4)
+
+
 def _train_fixture(n=32, pad_multiple=64, W=16, H=16):
     from editable_gaussian_reflections_tpu.renderer.raytracer import (
         CameraParams,
