@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.trace import RayHits, gather_frames, intersect_gathered, trace_rays
+from ..ops.trace import RayHits, gather_frames, trace_rays
 from ..scene.gaussian_scene import GaussianScene, build_frames
 from ..renderer.raytracer import (
     CameraParams,
