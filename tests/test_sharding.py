@@ -192,9 +192,11 @@ def test_sharded_train_step_equals_train_step():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
-def test_sharded_train_step_pallas_culled_equals_train_step():
+@pytest.mark.parametrize("split", [False, True])
+def test_sharded_train_step_pallas_culled_equals_train_step(split):
     """The production fast path (Pallas culled tracer, interpret mode on CPU)
-    through the sharded step matches the single-device step."""
+    through the sharded step matches the single-device step - with and
+    without the split-far two-pass trace."""
     from editable_gaussian_reflections_tpu.parallel.sharding import (
         make_mesh,
         sharded_train_step,
@@ -216,6 +218,7 @@ def test_sharded_train_step_pallas_culled_equals_train_step():
         num_bounces=1, max_hits=8, chunk=64,
         use_pallas=True, use_culling=True, cull_tile=256, cull_cluster=64,
         max_clusters=4, interpret=True,
+        split_far=split, mc_far=4, max_hits_far=8,
     )
 
     st_sh, m_sh = sharded_train_step(
