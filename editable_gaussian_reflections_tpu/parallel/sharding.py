@@ -298,34 +298,20 @@ def sharded_render_fused(
     output is identical to single-device (tests/test_sharding_fused.py).
 
     Returns (StepOutputs [S, R, ...], final [R, 3]) in linear pixel order."""
-    from ..ops.camera_rays import primary_ray_directions
-    from ..ops.culling import cluster_bounds, morton_order, tile_pixel_order
-    from ..ops.pallas.trace_kernel import pack_frames
-    from ..renderer.raytracer import _fused_bounce_core
-    from ..scene.gaussian_scene import build_frames
+    from ..renderer.raytracer import (
+        _fused_bounce_core,
+        _prepare_fused_frame,
+    )
 
     n_shards = mesh.devices.size
-    frames, attrs = build_frames(
-        scene, settings.alpha_threshold, settings.exp_power,
-        settings.global_scale_factor,
+    num_steps = num_bounces + 1
+    prep = _prepare_fused_frame(
+        scene, camera, settings, key, width, height, jitter=jitter,
+        cull_cluster=cull_cluster, cull_tile_primary=cull_tile_primary,
+        num_steps=num_steps, split_far=split_far,
+        split_radius_scale=split_radius_scale,
     )
-    perm = morton_order(frames)
-    frames = jax.tree_util.tree_map(lambda a: a[perm], frames)
-    attrs = jax.tree_util.tree_map(lambda a: a[perm], attrs)
-    bounds = cluster_bounds(frames, cull_cluster)
-    gpack = pack_frames(frames, attrs)
-
-    tpx = int(cull_tile_primary ** 0.5)
-    assert tpx * tpx == cull_tile_primary, cull_tile_primary
-    ray_perm, ray_inv = tile_pixel_order(height, width, tpx, tpx)
-    ray_perm = jnp.asarray(ray_perm)
-    ray_inv = jnp.asarray(ray_inv)
-    key_jit, key_b = jax.random.split(key)
-    dirs = primary_ray_directions(
-        width, height, camera.fov_y, camera.c2w,
-        jitter_key=key_jit if jitter else None,
-    ).reshape(-1, 3)[ray_perm]
-    R = dirs.shape[0]
+    R, ray_inv = prep["R"], prep["ray_inv"]
     tile_max = max(cull_tile_primary, cull_tile_secondary)
     R_s = R // n_shards
     assert R % n_shards == 0 and R_s % tile_max == 0, (
@@ -334,36 +320,8 @@ def sharded_render_fused(
     rays_per_call = min(rays_per_call, R_s)
     assert R_s % rays_per_call == 0, (R_s, rays_per_call)
 
-    num_steps = num_bounces + 1
-    live = frames.valid
-    scene_lo = jnp.min(jnp.where(live[:, None], frames.mean, jnp.inf),
-                       axis=0)
-    scene_hi = jnp.max(jnp.where(live[:, None], frames.mean, -jnp.inf),
-                       axis=0)
-    if split_far:
-        livef = live.astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(livef), 1.0)
-        split_c = jnp.sum(jnp.where(live[:, None], frames.mean, 0.0),
-                          axis=0) / cnt
-        dist_c = jnp.linalg.norm(frames.mean - split_c[None], axis=-1)
-        skey = jnp.sort(jnp.where(live, dist_c, jnp.inf))
-        n_live = jnp.sum(live.astype(jnp.int32))
-        r_med = jax.lax.dynamic_index_in_dim(
-            skey, jnp.maximum(n_live // 2, 0), keepdims=False)
-        r_split = jnp.float32(split_radius_scale) * r_med
-    else:
-        split_c = jnp.zeros((3,), jnp.float32)
-        r_split = jnp.float32(0.0)
-
-    key_t = jax.random.fold_in(key_b, 0)
-    us = []
-    for _step in range(num_steps):
-        key_t, kstep = jax.random.split(key_t)
-        us.append(jax.random.uniform(kstep, (R, 2), jnp.float32)[ray_perm])
-    us = jnp.stack(us)
-    rays_o = jnp.broadcast_to(camera.origin, (R, 3))
-
-    rep = (gpack, bounds, scene_lo, scene_hi, split_c, r_split)
+    rep = (prep["gpack"], prep["bounds"], prep["scene_lo"],
+           prep["scene_hi"], prep["split_c"], prep["r_split"])
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -386,6 +344,6 @@ def sharded_render_fused(
             mc_far=mc_far, max_hits_far=max_hits_far,
         )
 
-    stacked, final = fwd(rep, rays_o, dirs, us)
+    stacked, final = fwd(rep, prep["rays_o"], prep["dirs"], prep["us"])
     stacked = jax.tree_util.tree_map(lambda a: a[:, ray_inv], stacked)
     return stacked, final[ray_inv]

@@ -778,6 +778,93 @@ def render_frame(
     return steps, final
 
 
+def _prepare_fused_frame(
+    scene, camera, settings, key, width: int, height: int, *,
+    jitter: bool, cull_cluster: int, cull_tile_primary: int,
+    num_steps: int, split_far: bool, split_radius_scale: float,
+):
+    """Shared prologue of render_frame_fused / sharded_render_fused: Morton
+    sort + cluster bounds + gpack, pixel-tile ray ordering, per-step GGX
+    uniforms (linear-pixel-order stream), scene bbox and the auto split
+    sphere.  Returns a dict of everything _fused_bounce_core consumes plus
+    (ray_perm, ray_inv, R)."""
+    from ..ops.culling import (
+        cluster_bounds,
+        morton_order,
+        tile_pixel_order,
+    )
+    from ..ops.pallas.trace_kernel import pack_frames
+
+    frames, attrs = build_frames(
+        scene, settings.alpha_threshold, settings.exp_power,
+        settings.global_scale_factor,
+    )
+    perm = morton_order(frames)
+    frames = jax.tree_util.tree_map(lambda a: a[perm], frames)
+    attrs = jax.tree_util.tree_map(lambda a: a[perm], attrs)
+    bounds = cluster_bounds(frames, cull_cluster)
+    # the kernels extract shading attrs straight from gpack rows 16..31
+    gpack = pack_frames(frames, attrs)
+
+    # square pixel tiles sized to the primary cull tile (256 -> 16x16,
+    # 64 -> 8x8: tighter bounding cones, fewer candidates per tile)
+    tpx = int(cull_tile_primary ** 0.5)
+    assert tpx * tpx == cull_tile_primary, cull_tile_primary
+    ray_perm, ray_inv = tile_pixel_order(height, width, tpx, tpx)
+    ray_perm = jnp.asarray(ray_perm)
+    ray_inv = jnp.asarray(ray_inv)
+    key_jit, key_b = jax.random.split(key)
+    dirs = primary_ray_directions(
+        width, height, camera.fov_y, camera.c2w,
+        jitter_key=key_jit if jitter else None,
+    ).reshape(-1, 3)[ray_perm]
+    R = dirs.shape[0]
+
+    live = frames.valid
+    scene_lo = jnp.min(jnp.where(live[:, None], frames.mean, jnp.inf),
+                       axis=0)
+    scene_hi = jnp.max(jnp.where(live[:, None], frames.mean, -jnp.inf),
+                       axis=0)
+
+    if split_far:
+        # Auto split sphere: centroid of live means, radius = scale x the
+        # median live distance (the dense scene sits inside, the far-field
+        # cloud's bulk outside).  Correctness NEVER depends on the choice -
+        # the t-window partition is exact for any sphere - only the culling
+        # win does.
+        livef = live.astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(livef), 1.0)
+        split_c = jnp.sum(jnp.where(live[:, None], frames.mean, 0.0),
+                          axis=0) / cnt
+        dist_c = jnp.linalg.norm(frames.mean - split_c[None], axis=-1)
+        skey = jnp.sort(jnp.where(live, dist_c, jnp.inf))
+        n_live = jnp.sum(live.astype(jnp.int32))
+        r_med = jax.lax.dynamic_index_in_dim(
+            skey, jnp.maximum(n_live // 2, 0), keepdims=False)
+        r_split = jnp.float32(split_radius_scale) * r_med
+    else:
+        split_c = jnp.zeros((3,), jnp.float32)
+        r_split = jnp.float32(0.0)
+
+    # per-step GGX uniforms drawn in linear pixel order then tile-permuted:
+    # each PIXEL consumes the same randomness as render_frame (bit-for-bit
+    # comparable in tests), and the pre-drawn [S, R, 2] block makes the
+    # bounce core layout-independent (shardable over rays)
+    key_t = jax.random.fold_in(key_b, 0)
+    us = []
+    for _step in range(num_steps):
+        key_t, kstep = jax.random.split(key_t)
+        us.append(jax.random.uniform(kstep, (R, 2), jnp.float32)[ray_perm])
+    us = jnp.stack(us)
+    rays_o = jnp.broadcast_to(camera.origin, (R, 3))
+
+    return dict(
+        gpack=gpack, bounds=bounds, scene_lo=scene_lo, scene_hi=scene_hi,
+        split_c=split_c, r_split=r_split, rays_o=rays_o, dirs=dirs, us=us,
+        ray_perm=ray_perm, ray_inv=ray_inv, R=R,
+    )
+
+
 def _fused_bounce_core(
     rays_o, rays_d, us, gpack, bounds, scene_lo, scene_hi,
     split_c, r_split, settings, znear, zfar, *,
@@ -1093,91 +1180,31 @@ def render_frame_fused(
     can shrink toward the near-scene budget while `mc_far` (default 32)
     covers the shell, and rays saturated by the near pass skip the far
     pass entirely (per-ray aliveness gate)."""
-    from ..ops.culling import (
-        cluster_bounds,
-        morton_order,
-        tile_pixel_order,
+    num_steps = num_bounces + 1
+    prep = _prepare_fused_frame(
+        scene, camera, settings, key, width, height, jitter=jitter,
+        cull_cluster=cull_cluster, cull_tile_primary=cull_tile_primary,
+        num_steps=num_steps, split_far=split_far,
+        split_radius_scale=split_radius_scale,
     )
-    from ..ops.pallas.trace_kernel import pack_frames
-
-    frames, attrs = build_frames(
-        scene, settings.alpha_threshold, settings.exp_power,
-        settings.global_scale_factor,
-    )
-    perm = morton_order(frames)
-    frames = jax.tree_util.tree_map(lambda a: a[perm], frames)
-    attrs = jax.tree_util.tree_map(lambda a: a[perm], attrs)
-    bounds = cluster_bounds(frames, cull_cluster)
-    # v3 kernel extracts shading attrs straight from gpack rows 16..31
-    gpack = pack_frames(frames, attrs)
-
-    # square pixel tiles sized to the primary cull tile (256 -> 16x16,
-    # 64 -> 8x8: tighter bounding cones, fewer candidates per tile)
-    tpx = int(cull_tile_primary ** 0.5)
-    assert tpx * tpx == cull_tile_primary, cull_tile_primary
-    ray_perm, ray_inv = tile_pixel_order(height, width, tpx, tpx)
-    ray_perm = jnp.asarray(ray_perm)
-    ray_inv = jnp.asarray(ray_inv)
-    key_jit, key_b = jax.random.split(key)
-    dirs = primary_ray_directions(
-        width, height, camera.fov_y, camera.c2w,
-        jitter_key=key_jit if jitter else None,
-    ).reshape(-1, 3)[ray_perm]
-    R = dirs.shape[0]
+    dirs, us, ray_inv, R = prep["dirs"], prep["us"], prep["ray_inv"], prep["R"]
     rays_per_call = min(rays_per_call, R)
     assert R % 256 == 0
     n_call = (R + rays_per_call - 1) // rays_per_call
     pad = n_call * rays_per_call - R
     if pad:
+        # duplicate leading rays into the padded tail (their outputs are
+        # sliced off below); the uniforms pad identically so the per-pixel
+        # sample stream is unchanged
         dirs = jnp.concatenate([dirs, dirs[:pad]], axis=0)
+        us = jnp.concatenate([us, us[:, :pad]], axis=1)
     Rp = n_call * rays_per_call
-
     rays_o = jnp.broadcast_to(camera.origin, (Rp, 3))
-    num_steps = num_bounces + 1
-
-    # scene bbox for secondary-ray coherence sorting
-    live = frames.valid
-    scene_lo = jnp.min(jnp.where(live[:, None], frames.mean, jnp.inf), axis=0)
-    scene_hi = jnp.max(jnp.where(live[:, None], frames.mean, -jnp.inf),
-                       axis=0)
-
-    if split_far:
-        # Auto split sphere: centroid of live means, radius = scale x the
-        # median live distance (the dense scene sits inside, the far-field
-        # cloud's bulk outside).  Correctness NEVER depends on the choice -
-        # the t-window partition is exact for any sphere - only the culling
-        # win does.
-        livef = live.astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(livef), 1.0)
-        split_c = jnp.sum(jnp.where(live[:, None], frames.mean, 0.0),
-                          axis=0) / cnt
-        dist_c = jnp.linalg.norm(frames.mean - split_c[None], axis=-1)
-        skey = jnp.sort(jnp.where(live, dist_c, jnp.inf))
-        n_live = jnp.sum(live.astype(jnp.int32))
-        r_med = jax.lax.dynamic_index_in_dim(
-            skey, jnp.maximum(n_live // 2, 0), keepdims=False)
-        r_split = jnp.float32(split_radius_scale) * r_med
-    else:
-        split_c = jnp.zeros((3,), jnp.float32)
-        r_split = jnp.float32(0.0)
-
-    # per-step GGX uniforms drawn in linear pixel order then tile-permuted:
-    # each PIXEL consumes the same randomness as render_frame (bit-for-bit
-    # comparable in tests), and the pre-drawn [S, R, 2] block makes the
-    # bounce core layout-independent (shardable over rays)
-    key_t = jax.random.fold_in(key_b, 0)
-    us = []
-    for _step in range(num_steps):
-        key_t, kstep = jax.random.split(key_t)
-        u = jax.random.uniform(kstep, (R, 2), jnp.float32)[ray_perm]
-        if pad:
-            u = jnp.concatenate([u, u[:pad]], axis=0)
-        us.append(u)
-    us = jnp.stack(us)
 
     stacked, final = _fused_bounce_core(
-        rays_o, dirs, us, gpack, bounds, scene_lo, scene_hi,
-        split_c, r_split, settings, camera.znear, camera.zfar,
+        rays_o, dirs, us, prep["gpack"], prep["bounds"], prep["scene_lo"],
+        prep["scene_hi"], prep["split_c"], prep["r_split"], settings,
+        camera.znear, camera.zfar,
         capacity=scene.capacity, num_bounces=num_bounces, max_hits=max_hits,
         exp_power_static=exp_power_static, cull_cluster=cull_cluster,
         max_clusters=max_clusters, rays_per_call=rays_per_call,
