@@ -32,6 +32,8 @@ RENDER_MODES = ["RGB", "Normals", "Depth", "F0", "Roughness", "Ellipsoids",
                 "Points"]
 DUPLICATION_OFFSET = 0.08
 
+_raster_jit = None  # process-wide compiled rasterizer (shape-keyed by jit)
+
 
 class ViewerState:
     def __init__(self, scene: EditableGaussianScene, cfg: Config,
@@ -60,6 +62,13 @@ class ViewerState:
         # The reference gets the same effect statically via cfg.resolution
         # downsampling at viewer start (gaussian_viewer.py:146-147).
         self.preview_scale = 1
+        # EllipsoidViewer widget knobs (viewer/widgets/ellipsoid_viewer.py:
+        # 315-317): alpha clip limit for the solid stage, the widget's own
+        # scale modifier (composed with scaling_modifier), and whether the
+        # additive sub-limit "floaters" stage renders.
+        self.ellipsoid_limit = 0.2
+        self.ellipsoid_scale = 0.5
+        self.render_floaters = False
 
         self._accum = None
         self._accum_count = 0
@@ -116,7 +125,8 @@ class ViewerState:
         return (np.asarray(camera.R).tobytes(),
                 np.asarray(camera.camera_center).tobytes(),
                 self.znear, self.zfar, self.render_mode, self.num_bounces,
-                self.preview_scale)
+                self.preview_scale, self.ellipsoid_limit,
+                self.ellipsoid_scale, self.render_floaters)
 
     def _check_dirty(self, camera: MiniCam):
         scene_dirty = self.gaussians.dirty_check(self.scaling_modifier)
@@ -139,80 +149,51 @@ class ViewerState:
 
         self._check_dirty(camera)
         scene = self.gaussians.edited_scene()
-        if RENDER_MODES[self.render_mode] == "Ellipsoids":
-            # solid-ellipsoid preview (the EllipsoidViewer widget analog,
-            # viewer/widgets/ellipsoid_viewer.py): opacity saturated so each
-            # Gaussian renders as its alpha-clipped ellipsoid, colored by a
-            # per-Gaussian hash
-            import jax.numpy as jnp
-            n = scene.capacity
-            idx = np.arange(n, dtype=np.uint32)
-            h = (idx * np.uint32(2654435761)) & np.uint32(0xFFFFFF)
-            colors = np.stack([
-                (h & 0xFF) / 255.0, ((h >> 8) & 0xFF) / 255.0,
-                ((h >> 16) & 0xFF) / 255.0,
-            ], -1).astype(np.float32)
-            scene = scene._replace(
-                opacity=jnp.full((n,), 12.0, jnp.float32),
-                diffuse=jnp.asarray(colors),
-            )
-        elif RENDER_MODES[self.render_mode] == "Points":
-            # point-cloud debug view (PointRenderer/SphereViewer widget
-            # analog, viewer/widgets/point_renderer.py): every Gaussian as a
-            # tiny saturated isotropic sphere keeping its diffuse color
-            import jax.numpy as jnp
-            n = scene.capacity
-            xyz = np.asarray(scene.xyz)
-            extent = float(np.linalg.norm(xyz.max(0) - xyz.min(0))) or 1.0
-            radius = max(0.004 * extent, 1e-4)
-            scene = scene._replace(
-                opacity=jnp.full((n,), 12.0, jnp.float32),
-                scaling=jnp.full((n, 3), np.log(radius), jnp.float32),
-            )
-        if self.scaling_modifier != 1.0:
-            settings = self.settings._replace(
-                global_scale_factor=self.scaling_modifier)
-        else:
-            settings = self.settings
-
-        from ..renderer.render import (
-            default_backend_kwargs,
-            dispatch_render_frame,
-        )
-
-        cam = camera_params(camera, znear=self.znear, zfar=self.zfar)
-        key = jax.random.PRNGKey(self._accum_count)
-        ellipsoids = RENDER_MODES[self.render_mode] in ("Ellipsoids", "Points")
-        # drag-time preview downscale: both backends need 16 | H, W (fused
-        # pixel tiling / cull-tile divisibility), so only drop when the
-        # reduced frame still qualifies
+        # drag-time preview downscale: all backends need 16 | H, W (fused
+        # pixel tiling / cull-tile divisibility / raster tiles), so only
+        # drop when the reduced frame still qualifies
         s = int(self.preview_scale)
         if s not in (2, 4) or self.height % (16 * s) or self.width % (16 * s):
             s = 1
         H, W = self.height // s, self.width // s
-        # the solid-ellipsoid preview needs no reflection bounces and
-        # saturates within a couple of hits (opacity forced to 12) - trace
-        # primary-only with a shallow k-buffer, ~3x the interactive rate of
-        # the full path (the GL instanced rasterizer analog)
-        steps, final = dispatch_render_frame(
-            scene, cam, settings, key, W, H,
-            num_bounces=0 if ellipsoids else self.num_bounces,
-            max_hits=8 if ellipsoids else self.cfg.max_hits,
-            chunk=self.cfg.trace_chunk, tile=self.cfg.ray_tile,
-            **default_backend_kwargs(self.cfg),
-        )
-        frame = dict(
-            rgb=np.asarray(final).reshape(H, W, 3),
-            normal=np.asarray(steps.normal[0]).reshape(H, W, 3),
-            depth=np.asarray(steps.depth[0]).reshape(H, W, 1),
-            f0=np.asarray(steps.f0[0]).reshape(H, W, 3),
-            roughness=np.asarray(steps.roughness[0]).reshape(H, W, 1),
-        )
+        mode = RENDER_MODES[self.render_mode]
+        if mode in ("Ellipsoids", "Points"):
+            frame = self._raster_frame(scene, camera, W, H,
+                                       points=(mode == "Points"))
+        else:
+            if self.scaling_modifier != 1.0:
+                settings = self.settings._replace(
+                    global_scale_factor=self.scaling_modifier)
+            else:
+                settings = self.settings
+
+            from ..renderer.render import (
+                default_backend_kwargs,
+                dispatch_render_frame,
+            )
+
+            cam = camera_params(camera, znear=self.znear, zfar=self.zfar)
+            key = jax.random.PRNGKey(self._accum_count)
+            steps, final = dispatch_render_frame(
+                scene, cam, settings, key, W, H,
+                num_bounces=self.num_bounces,
+                max_hits=self.cfg.max_hits,
+                chunk=self.cfg.trace_chunk, tile=self.cfg.ray_tile,
+                **default_backend_kwargs(self.cfg),
+            )
+            frame = dict(
+                rgb=np.asarray(final).reshape(H, W, 3),
+                normal=np.asarray(steps.normal[0]).reshape(H, W, 3),
+                depth=np.asarray(steps.depth[0]).reshape(H, W, 1),
+                f0=np.asarray(steps.f0[0]).reshape(H, W, 3),
+                roughness=np.asarray(steps.roughness[0]).reshape(H, W, 1),
+            )
         if s > 1:  # nearest-upscale so downstream shapes stay full-res
             frame = {k: np.repeat(np.repeat(v, s, 0), s, 1)
                      for k, v in frame.items()}
             H, W = self.height, self.width
         if self.accumulate_samples:
+            gid = frame.pop("gid", None)  # integer G-buffer: never averaged
             if self._accum is None:
                 self._accum = frame
                 self._accum_count = 1
@@ -220,6 +201,8 @@ class ViewerState:
                 self._accum = {k: a + frame[k] for k, a in self._accum.items()}
                 self._accum_count += 1
             frame = {k: v / self._accum_count for k, v in self._accum.items()}
+            if gid is not None:
+                frame["gid"] = gid
         self._last_frame = frame  # G-buffer stash for inspect_pixel
 
         mode = RENDER_MODES[self.render_mode]
@@ -320,6 +303,64 @@ class ViewerState:
             out[key] = (c + t).tolist()
         return out
 
+    def _raster_frame(self, scene, camera, width, height, points=False):
+        """Ellipsoids/Points preview via the screen-space instanced
+        ellipsoid rasterizer (ops/ellipsoid_raster.py - the EllipsoidViewer
+        / PointRenderer widget analogs, viewer/widgets/ellipsoid_viewer.py,
+        point_renderer.py) instead of the ray tracer: one fused z-buffer
+        pass, interactive at full resolution."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.activations import sigmoid_act
+        from ..ops.ellipsoid_raster import rasterize_ellipsoids
+
+        n = scene.capacity
+        if points:
+            # every Gaussian as a small opaque isotropic sphere keeping its
+            # diffuse color
+            xyz = np.asarray(scene.xyz)
+            extent = float(np.linalg.norm(xyz.max(0) - xyz.min(0))) or 1.0
+            radius = max(0.004 * extent, 1e-4) * self.scaling_modifier
+            radii = jnp.full((n, 3), radius, jnp.float32)
+            colors = jnp.clip(scene.diffuse, 0.0, 1.0)
+            alphas = jnp.ones((n,), jnp.float32)
+        else:
+            # per-Gaussian hash colors, widget half-axes
+            # 2 * scale * modifier, sigmoid alphas clipped at the limit
+            idx = np.arange(n, dtype=np.uint32)
+            h = (idx * np.uint32(2654435761)) & np.uint32(0xFFFFFF)
+            colors = jnp.asarray(np.stack([
+                (h & 0xFF) / 255.0, ((h >> 8) & 0xFF) / 255.0,
+                ((h >> 16) & 0xFF) / 255.0,
+            ], -1).astype(np.float32))
+            radii = 2.0 * jnp.exp(scene.scaling) * (
+                self.ellipsoid_scale * self.scaling_modifier)
+            alphas = sigmoid_act(scene.opacity)
+
+        cam = camera_params(camera, znear=self.znear, zfar=self.zfar)
+        global _raster_jit
+        if _raster_jit is None:
+            _raster_jit = jax.jit(
+                rasterize_ellipsoids,
+                static_argnames=("width", "height", "render_floaters",
+                                 "max_per_tile", "tile", "select_chunk"))
+        out = _raster_jit(
+            scene.xyz, scene.rotation, radii, colors, alphas,
+            scene.live_mask, cam.c2w, cam.origin, cam.fov_y,
+            width=width, height=height, znear=self.znear, zfar=self.zfar,
+            alpha_limit=jnp.float32(0.0 if points else self.ellipsoid_limit),
+            render_floaters=bool(self.render_floaters) and not points)
+        zeros = np.zeros((height, width, 3), np.float32)
+        return dict(
+            rgb=np.asarray(out.rgb),
+            normal=np.asarray(out.normal),
+            depth=np.asarray(out.depth)[..., None],
+            f0=zeros,
+            roughness=zeros[..., :1],
+            gid=np.asarray(out.gid)[..., None],
+        )
+
     def get_state(self) -> dict:
         return dict(
             object_centers=self.object_centers(),
@@ -331,6 +372,9 @@ class ViewerState:
             accumulate_samples=self.accumulate_samples,
             num_bounces=self.num_bounces,
             preview_scale=self.preview_scale,
+            ellipsoid_limit=self.ellipsoid_limit,
+            ellipsoid_scale=self.ellipsoid_scale,
+            render_floaters=self.render_floaters,
             objects=list(self.gaussians.edits.keys()),
             edits={k: asdict(e) for k, e in self.gaussians.edits.items()},
             width=self.width,
@@ -341,7 +385,8 @@ class ViewerState:
     def set_state(self, state: dict):
         for k in ("render_mode", "exposure", "znear", "zfar",
                   "scaling_modifier", "accumulate_samples", "num_bounces",
-                  "preview_scale"):
+                  "preview_scale", "ellipsoid_limit", "ellipsoid_scale",
+                  "render_floaters"):
             if k in state:
                 setattr(self, k, state[k])
         for name, e in state.get("edits", {}).items():

@@ -78,7 +78,9 @@ def test_inspect_pixel_reports_gbuffer(state):
     svc = RenderService(state)
     meta, _ = svc.tick({"viewer": {"num_bounces": 0}, "inspect": [16, 16]})
     ins = meta["inspect"]
-    assert set(ins) == {"rgb", "normal", "depth", "f0", "roughness"}
+    # raster modes additionally expose the hit Gaussian id ("gid" - the
+    # fragment shader's commented-out out_id, ellipsoid_viewer.py:219)
+    assert {"rgb", "normal", "depth", "f0", "roughness"} <= set(ins)
     assert len(ins["rgb"]) == 3 and len(ins["depth"]) == 1
     assert svc.tick({"viewer": {}, "inspect": [9999, 0]})[0]["inspect"] is None
 

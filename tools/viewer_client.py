@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--preview_scale", type=int, default=1,
                    help="viewer preview_scale to request (2 = the web "
                         "client's fast-drag rate)")
+    p.add_argument("--render_mode", type=int, default=None,
+                   help="render-mode index (viewer.state.RENDER_MODES; "
+                        "5 = Ellipsoids rasterizer, 6 = Points)")
     args = p.parse_args(argv)
 
     import asyncio
@@ -66,6 +69,9 @@ def main(argv=None):
                 if args.preview_scale != 1:
                     req.setdefault("viewer", {})[
                         "preview_scale"] = args.preview_scale
+                if args.render_mode is not None:
+                    req.setdefault("viewer", {})[
+                        "render_mode"] = args.render_mode
                 await ws.send(json.dumps(req))
                 metadata = json.loads(await ws.recv())
                 _mapping = json.loads(await ws.recv())
