@@ -88,6 +88,9 @@ if [ -d "$MODEL" ]; then
   sleep 420  # compile
   run viewer_fps 600 python tools/viewer_client.py --frames 30 \
     --fps_json "$OUT/viewer_fps.json" --out /tmp/viewer_frames
+  run viewer_fps_ellipsoid 600 python tools/viewer_client.py --frames 30 \
+    --render_mode 5 --fps_json "$OUT/viewer_fps_ellipsoid.json" \
+    --out /tmp/viewer_frames
   kill "$(cat /tmp/svc.pid)" 2>/dev/null
   # 6. eval_sweep at max_hits=16 (K-sensitivity at inference)
   run eval_sweep_k16 3600 python tools/eval_sweep.py -m "$MODEL" \
