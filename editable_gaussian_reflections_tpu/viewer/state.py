@@ -254,6 +254,19 @@ class ViewerState:
         return self.selection_masks
 
     def object_at_pixel(self, x: int, y: int) -> Optional[str]:
+        # in raster modes the hit-id G-buffer resolves the pick instantly
+        # (no per-object mask renders needed) - the capability the GL
+        # widget's commented-out out_id (ellipsoid_viewer.py:219) was for
+        frame = getattr(self, "_last_frame", None)
+        if frame is not None and "gid" in frame \
+                and 0 <= y < self.height and 0 <= x < self.width:
+            gid = int(frame["gid"][y, x, 0])
+            if gid < 0:
+                return None
+            for key, sel in self.gaussians.selections.items():
+                if key != "everything" and gid < len(sel) and sel[gid]:
+                    return key
+            return None
         for key, mask in self.selection_masks.items():
             if 0 <= y < mask.shape[0] and 0 <= x < mask.shape[1] and mask[y, x]:
                 return key

@@ -113,6 +113,29 @@ def test_edit_applies_through_service(state):
     assert meta["edits"]["blob"]["roughness_override"] == 1.0
 
 
+def test_raster_mode_gid_pick(state):
+    """In Ellipsoids/Points modes a click resolves instantly from the
+    rasterizer's hit-id G-buffer (no per-object mask renders)."""
+    from editable_gaussian_reflections_tpu.viewer.state import RENDER_MODES
+
+    svc = RenderService(state)
+    mode = RENDER_MODES.index("Ellipsoids")
+    meta, frame = svc.tick({"viewer": {"render_mode": mode}})
+    img = np.frombuffer(frame, np.uint8).reshape(
+        *meta["frame_shape"]).max(-1)
+    ys, xs = np.nonzero(img)
+    assert len(ys), "ellipsoid view rendered black"
+    y, x = int(ys[len(ys) // 2]), int(xs[len(ys) // 2])
+    meta, _ = svc.tick({"viewer": {"render_mode": mode}, "pick": [x, y]})
+    assert meta["picked_object"] == "blob"
+    # background pixel picks nothing
+    bg = np.argwhere(img == 0)
+    if len(bg):
+        meta, _ = svc.tick({"viewer": {"render_mode": mode},
+                            "pick": [int(bg[0][1]), int(bg[0][0])]})
+        assert meta["picked_object"] is None
+
+
 def test_accumulation_resets_on_edit(state):
     svc = RenderService(state)
     req = {"viewer": {"render_mode": 0, "num_bounces": 0,
