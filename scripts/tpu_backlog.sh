@@ -28,6 +28,10 @@ run() {  # run NAME TIMEOUT CMD... - never abort the chain on one failure
 run probe 300 python -c "import jax; print(jax.devices())"
 grep -q "rc=0" <(tail -1 "$OUT/backlog.log") || { echo "TPU DOWN"; exit 1; }
 
+# 0b. cross-backend kernel equality vs the committed CPU-interpret baseline
+run hw_equality 1800 python tools/hw_equality.py \
+  --out "$OUT/hw_eq_tpu.npz" --compare artifacts/hw_eq_cpu.npz
+
 # 1. render sweep
 run render_sweep 3000 python tools/bench_render_sweep.py \
   --configs "96:192:256,96:192:128,96:160:64,96:256:128"
