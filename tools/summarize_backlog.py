@@ -47,6 +47,15 @@ def main():
 
     for name in sorted(os.listdir(d)):
         path = os.path.join(d, name)
+        if name.endswith(".json"):
+            # whole-file JSON (viewer fps traces, hw_equality comparison)
+            try:
+                obj = json.load(open(path))
+                print(f"\n-- {name} --")
+                print("  " + json.dumps(obj))
+                continue
+            except ValueError:
+                pass
         if name.endswith((".json", ".log", ".err")):
             rows = json_lines(path)
             if rows:
