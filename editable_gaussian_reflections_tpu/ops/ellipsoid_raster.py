@@ -90,8 +90,9 @@ def _select_candidates(centers, r_bound, cam_center, dirs_t, mask,
     axis = jnp.mean(dirs_t, axis=1)
     axis = axis / jnp.maximum(
         jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-12)
-    cos_half = jnp.min(jnp.einsum("tpi,ti->tp", dirs_t, axis), axis=1)
-    half = jnp.arccos(jnp.clip(cos_half, -1.0, 1.0))        # [T]
+    cos_half = jnp.clip(
+        jnp.min(jnp.einsum("tpi,ti->tp", dirs_t, axis), axis=1), -1.0, 1.0)
+    sin_half = jnp.sqrt(jnp.maximum(1.0 - cos_half * cos_half, 0.0))  # [T]
 
     def body(carry, start):
         best_v, best_i = carry
@@ -100,11 +101,17 @@ def _select_candidates(centers, r_bound, cam_center, dirs_t, mask,
         dist = jnp.linalg.norm(to_c, axis=-1)
         dirn = to_c / jnp.maximum(dist, 1e-12)[:, None]
         cosg = jnp.einsum("ti,ci->tc", axis, dirn)           # [T, C]
-        ang = jnp.arccos(jnp.clip(cosg, -1.0, 1.0))
         r = sl(r_bound)
-        ang_r = jnp.arcsin(jnp.clip(r / jnp.maximum(dist, 1e-12), 0.0, 1.0))
+        # angle(axis, center) <= half + asin(r/dist), evaluated in cosine
+        # space (exact: both sides are in [0, pi], where cos is monotone;
+        # half < pi/2 and asin <= pi/2 keep the sum <= pi) - no per-element
+        # transcendentals on the [T, C] grid
+        sin_r = jnp.clip(r / jnp.maximum(dist, 1e-12), 0.0, 1.0)
+        cos_r = jnp.sqrt(jnp.maximum(1.0 - sin_r * sin_r, 0.0))
+        cos_sum = (cos_half[:, None] * cos_r[None, :]
+                   - sin_half[:, None] * sin_r[None, :])
         overlap = (
-            ((ang <= half[:, None] + ang_r[None, :]) | (dist <= r)[None, :])
+            ((cosg >= cos_sum) | (dist <= r)[None, :])
             & sl(mask)[None, :]
         )
         prio = jnp.maximum(dist - r, 0.0)
