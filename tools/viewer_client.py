@@ -93,6 +93,8 @@ def main(argv=None):
                     "wall_s": round(wall, 3),
                     "fps_pipelined": round((args.frames - 1) / wall, 2),
                     "server_perf": last_perf,
+                    "render_mode": args.render_mode,
+                    "preview_scale": args.preview_scale,
                 }
                 with open(args.fps_json, "w") as f:
                     json.dump(trace, f, indent=1)
