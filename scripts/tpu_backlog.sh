@@ -102,4 +102,9 @@ if [ -d "$MODEL" ]; then
   cp "$MODEL"/eval_sweep*.json "$OUT/" 2>/dev/null || true
 fi
 
+# 7. xprof trace of the fused kernel (op-level decomposition of the
+#    remaining ~6x machinery gap vs pair-math roofline)
+run profile_kernel 1200 python tools/profile_kernel.py --trace_dir /tmp/xprof_fused
+cp /tmp/xprof_fused.tar.gz "$OUT/" 2>/dev/null || true
+
 echo DONE | tee -a "$OUT/backlog.log"
