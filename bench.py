@@ -15,8 +15,54 @@ import time
 
 import numpy as np
 
+METRIC = "render_throughput_2bounce_100k_gaussians"
+BASELINE_MRAYS = 30 * 1920 * 1080 / 1e6  # 30 FPS @ 1080p north star
+
+
+def _emit_error(msg: str) -> None:
+    print(json.dumps({
+        "metric": METRIC,
+        "value": 0.0,
+        "unit": "Mrays/s",
+        "vs_baseline": 0.0,
+        "error": msg[:500],
+    }))
+
+
+def _probe_backend(timeout: int = 300) -> str | None:
+    """Check that a jax backend initializes, in a subprocess with a hard
+    timeout: when the axon tunnel is down, jax.devices() HANGS forever in
+    make_c_api_client (BENCH/MULTICHIP r03), so an in-process try/except
+    cannot protect us.  Returns the backend name or None on failure."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('BACKEND=' + jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("BACKEND="):
+            return line.split("=", 1)[1].strip()
+    return None
+
 
 def main():
+    backend = _probe_backend()
+    if backend is None:
+        _emit_error("jax backend init failed or hung (axon tunnel down?)")
+        return
+    try:
+        _bench()
+    except Exception as e:  # noqa: BLE001 — one JSON line, always
+        _emit_error(f"{type(e).__name__}: {e}")
+
+
+def _bench():
     import jax
     import jax.numpy as jnp
 
@@ -93,7 +139,7 @@ def main():
 
     rays_per_s = width * height / dt
     mrays = rays_per_s / 1e6
-    baseline_mrays = 30 * 1920 * 1080 / 1e6  # 30 FPS @ 1080p north star
+    baseline_mrays = BASELINE_MRAYS
 
     # projected v5p-8 throughput (VERDICT r2 item 7): the north-star baseline
     # assumes 8 chips; rays are embarrassingly DP-sharded (validated on the
@@ -122,7 +168,7 @@ def main():
               f"Mrays/s | starved rays {ovf:.4f}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "render_throughput_2bounce_100k_gaussians",
+        "metric": METRIC,
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline_mrays, 4),
