@@ -111,6 +111,12 @@ def ransac_linear_fit(x, y, num_iters=100, sample_fraction=0.1,
     for _ in range(num_iters):
         idxs = random.sample(range(N), sample_size)
         xs, ys = x[idxs], y[idxs]
+        if float(np.ptp(xs)) < 1e-12:
+            # Degenerate sample (all x identical): lstsq returns a
+            # minimum-norm line through the duplicates that scores 0 on its
+            # own top-k and beats the true fit. Skip (robustness guard the
+            # reference lacks; depth_utils.py:240-249 hits the same trap).
+            continue
         X = np.stack([xs, np.ones_like(xs)], axis=1)
         wb, *_ = np.linalg.lstsq(X, ys, rcond=None)
         if wb.size < 2:
@@ -126,6 +132,10 @@ def ransac_linear_fit(x, y, num_iters=100, sample_fraction=0.1,
 
     if best_model is not None and best_inliers is not None:
         xi, yi = x[best_inliers], y[best_inliers]
+        if float(np.ptp(xi)) < 1e-12:
+            # Refit would be rank-deficient (top-k landed on duplicated x,
+            # e.g. quantized mono-depth): keep the candidate line instead.
+            return (float(best_model[0]), float(best_model[1])), best_inliers
         X = np.stack([xi, np.ones_like(xi)], axis=1)
         wb, *_ = np.linalg.lstsq(X, yi, rcond=None)
         return (float(wb[0]), float(wb[1])), best_inliers

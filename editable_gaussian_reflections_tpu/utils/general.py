@@ -51,6 +51,8 @@ def mean_dist2_knn3(points: np.ndarray, chunk: int = 2048) -> np.ndarray:
 
     pts = jnp.asarray(points, jnp.float32)
     n = pts.shape[0]
+    if n == 0:
+        return np.zeros((0,), np.float32)
     pad = (-n) % chunk
     if pad:
         pts_p = jnp.concatenate([pts, jnp.full((pad, 3), 1e30, jnp.float32)])
