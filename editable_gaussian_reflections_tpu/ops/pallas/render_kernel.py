@@ -81,7 +81,7 @@ def pack_attr_table(attrs) -> jnp.ndarray:
 
 
 def _pair_math(scalar_ref, rays_ref, gpack_ref, *, exp_power: float,
-               window_mode: int = 0):
+               window_mode: int = 0, secondary_static: int = -1):
     """Closed-form max-response intersection over the [R, C] pair block.
 
     Returns (t, alpha, valid) - the minimal quantities the composite path
@@ -91,6 +91,14 @@ def _pair_math(scalar_ref, rays_ref, gpack_ref, *, exp_power: float,
     column 7 carries a per-ray split distance t_split, and hits are kept
     only when t < t_split (mode 1, near pass) or t > t_split (mode 2, far
     pass).  Mode 0 compiles the original single-window validity untouched.
+
+    `secondary_static` (static) compiles the backfacing-reject test in or
+    out: the bounce index is a Python constant at every call site, so
+    primary passes (0) drop the normal-dot/reject ops (~15% of the pair
+    math) instead of evaluating them under the traced `secondary` scalar;
+    1 applies the reject unconditionally; -1 keeps the dynamic gate
+    (identical results in all three modes - shaders.cu:52-57 only runs the
+    test for secondary rays).
 
     Measured dead end (round 3, do not retry): bfloat16 for the transforms /
     dot products (hoping for 2x VPU lane packing).  sq = dot_oo -
@@ -137,11 +145,15 @@ def _pair_math(scalar_ref, rays_ref, gpack_ref, *, exp_power: float,
         valid &= t < rays_ref[:, 7:8]
     elif window_mode == 2:
         valid &= t > rays_ref[:, 7:8]
-    nrm = [g[ROW_NRM + i, :][None, :] for i in range(3)]
-    nlen = g[ROW_NLEN, :][None, :]
-    ndotd = nrm[0] * ld[0] + nrm[1] * ld[1] + nrm[2] * ld[2]
-    reject = (t < bf_max_dist) & (nlen > bf_thr) & (ndotd > 0.0)
-    valid &= jnp.logical_or(secondary <= 0.0, ~reject)
+    if secondary_static != 0:
+        nrm = [g[ROW_NRM + i, :][None, :] for i in range(3)]
+        nlen = g[ROW_NLEN, :][None, :]
+        ndotd = nrm[0] * ld[0] + nrm[1] * ld[1] + nrm[2] * ld[2]
+        reject = (t < bf_max_dist) & (nlen > bf_thr) & (ndotd > 0.0)
+        if secondary_static == 1:
+            valid &= ~reject
+        else:
+            valid &= jnp.logical_or(secondary <= 0.0, ~reject)
     # wavefront liveness: dead rays (rays[:, 6] == 0) produce no hits - the
     # in-kernel substitute for renderer._mask_hits
     valid &= rays_ref[:, 6:7] > 0.0
@@ -199,6 +211,7 @@ def _drain_composite(valid, t, alpha, table, slot_t_ref, slot_alpha_ref,
             lane_oh.astype(jnp.float32), table,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                                        # [R, TABLE_A]
 
         slot_t = slot_t_ref[:]
@@ -274,7 +287,7 @@ def _render_kernel(
     gpack1_ref, table1_ref,
     out_ref,
     slot_t_ref, slot_alpha_ref, attr_ref, acc_ref,
-    *, K: int, cluster: int, exp_power: float,
+    *, K: int, cluster: int, exp_power: float, secondary_static: int = -1,
 ):
     """Grid = (ray_tiles, ceil(MC / 2)): each step streams TWO candidate
     clusters (two gpack/table block pairs) - grid-step machinery (~0.75 us:
@@ -302,7 +315,8 @@ def _render_kernel(
 
     def compute(gpack_ref, table_ref):
         t, alpha, valid, gvalid = _pair_math(scalar_ref, rays_ref, gpack_ref,
-                                             exp_power=exp_power)
+                                             exp_power=exp_power,
+                                             secondary_static=secondary_static)
         acc_ref[:, 0:1] += jnp.sum(
             jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1, keepdims=True
         )
@@ -334,14 +348,15 @@ def _render_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret"),
+    static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret",
+                     "secondary_static"),
 )
 def pallas_render_culled(
     rays_o, rays_d, gpack, table, candidates, cand_near, near, far, exp_power,
     secondary, backfacing_max_dist, backfacing_invalid_normal_threshold,
     transmittance_threshold=0.01, eps_forward_normalization=1e-12,
     max_hits: int = 32, cluster: int = 256, tile: int = 256,
-    interpret: bool = False, alive=None,
+    interpret: bool = False, alive=None, secondary_static: int = -1,
 ):
     """Culled trace + composite in one kernel.  Returns [R, OUT_LANES] f32.
 
@@ -413,7 +428,8 @@ def pallas_render_culled(
     )
     return pl.pallas_call(
         partial(_render_kernel, K=K, cluster=cluster,
-                exp_power=float(exp_power)),
+                exp_power=float(exp_power),
+                secondary_static=secondary_static),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, OUT_LANES), jnp.float32),
         interpret=interpret,
@@ -508,9 +524,11 @@ def _drain_slots(valid, t, alpha, base_id, table, ftable,
         g_val = jnp.sum(jnp.where(lane_oh, gid, 0.0), axis=1, keepdims=True)
         dn = (((1,), (0,)), ((), ()))
         v1 = jax.lax.dot_general(ohf, table, dn,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
         v2 = jax.lax.dot_general(ohf, ftable, dn,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
 
         slot_t = slot_t_ref[:]
         s_is_max = slot_t >= kth
@@ -578,7 +596,7 @@ def _slots_kernel(
     ftable0_ref, gpack1_ref, table1_ref, ftable1_ref,
     slots_out_ref, acc_out_ref,
     slot_t_ref, slot_alpha_ref, slot_id_ref, pay_ref, acc_ref,
-    *, K: int, cluster: int, exp_power: float,
+    *, K: int, cluster: int, exp_power: float, secondary_static: int = -1,
 ):
     ti = pl.program_id(0)
     ci = pl.program_id(1)
@@ -602,7 +620,8 @@ def _slots_kernel(
 
     def compute(gpack_ref, table_ref, ftable_ref, cand):
         t, alpha, valid, gvalid = _pair_math(scalar_ref, rays_ref, gpack_ref,
-                                             exp_power=exp_power)
+                                             exp_power=exp_power,
+                                             secondary_static=secondary_static)
         acc_ref[:, 0:1] += jnp.sum(
             jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1, keepdims=True
         )
@@ -640,14 +659,15 @@ def _slots_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret"),
+    static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret",
+                     "secondary_static"),
 )
 def pallas_trace_slots(
     rays_o, rays_d, gpack, table, ftable, candidates, cand_near, near, far,
     exp_power, secondary, backfacing_max_dist,
     backfacing_invalid_normal_threshold, transmittance_threshold=0.01,
     max_hits: int = 32, cluster: int = 256, tile: int = 256,
-    interpret: bool = False, alive=None,
+    interpret: bool = False, alive=None, secondary_static: int = -1,
 ):
     """Culled trace returning depth-sorted full-payload slots.
 
@@ -726,7 +746,8 @@ def pallas_trace_slots(
     )
     return pl.pallas_call(
         partial(_slots_kernel, K=K, cluster=cluster,
-                exp_power=float(exp_power)),
+                exp_power=float(exp_power),
+                secondary_static=secondary_static),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((R, NPK), jnp.float32),

@@ -119,6 +119,7 @@ def _drain_striped(valid, t, alpha, gblock_hi, slot_ref, K, spread_const,
             lane_oh.astype(jnp.float32), gblock_hi,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                                        # [R, 16]
         v = jnp.where(col16 == STRIPE_T, tmin, v)
         v = jnp.where(col16 == STRIPE_ALPHA, a_val, v)
@@ -126,6 +127,7 @@ def _drain_striped(valid, t, alpha, gblock_hi, slot_ref, K, spread_const,
             v, spread_const,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                                        # [R, SB*K]
 
         slot_t = slot_ref[:, STRIPE_T * K:(STRIPE_T + 1) * K]
@@ -209,6 +211,7 @@ def _render_kernel_v3(
     gbuf, slot_ref, acc_ref, gsem,
     *, K: int, cluster: int, exp_power: float, debug_mode: int = 0,
     nbuf: int = 4, check_every: int = 4, window_mode: int = 0,
+    secondary_static: int = -1,
 ):
     ti = pl.program_id(0)
     log_thr = scalar_ref[9]
@@ -257,7 +260,8 @@ def _render_kernel_v3(
         tt, alpha, valid, gvalid = _pair_math(
             scalar_ref, rays_ref,
             gbuf.at[0 if debug_mode == 4 else jax.lax.rem(ci, nbuf)],
-            exp_power=exp_power, window_mode=window_mode)
+            exp_power=exp_power, window_mode=window_mode,
+            secondary_static=secondary_static)
         acc_ref[:, 0:1] += jnp.sum(
             jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1,
             keepdims=True)
@@ -312,7 +316,8 @@ def _render_kernel_v3(
 @partial(
     jax.jit,
     static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret",
-                     "debug_mode", "nbuf", "check_every", "window_mode"),
+                     "debug_mode", "nbuf", "check_every", "window_mode",
+                     "secondary_static"),
 )
 def pallas_render_culled_v3(
     rays_o, rays_d, gpack, candidates, cand_near, num, near, far,
@@ -322,7 +327,7 @@ def pallas_render_culled_v3(
     max_hits: int = 16, cluster: int = 128, tile: int = 128,
     interpret: bool = False, alive=None, debug_mode: int = 0,
     nbuf: int = 4, check_every: int = 4,
-    t_split=None, window_mode: int = 0,
+    t_split=None, window_mode: int = 0, secondary_static: int = -1,
 ):
     """v3 culled trace + composite.  Returns [R, OUT_LANES] f32.
 
@@ -393,7 +398,7 @@ def pallas_render_culled_v3(
         partial(_render_kernel_v3, K=K, cluster=cluster,
                 exp_power=float(exp_power), debug_mode=debug_mode,
                 nbuf=nbuf, check_every=check_every,
-                window_mode=window_mode),
+                window_mode=window_mode, secondary_static=secondary_static),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, OUT_LANES), jnp.float32),
         interpret=interpret,
@@ -416,7 +421,7 @@ def _render_kernel_v4(
     out_ref,
     slot_ref, acc_ref,
     *, K: int, cluster: int, exp_power: float, check_every: int,
-    debug_mode: int = 0, window_mode: int = 0,
+    debug_mode: int = 0, window_mode: int = 0, secondary_static: int = -1,
 ):
     ti = pl.program_id(0)
     log_thr = scalar_ref[9]
@@ -438,7 +443,7 @@ def _render_kernel_v4(
         gblock = gpack_ref.at[:, pl.ds(c * cluster, cluster)]
         tt, alpha, valid, gvalid = _pair_math(
             scalar_ref, rays_ref, gblock, exp_power=exp_power,
-            window_mode=window_mode)
+            window_mode=window_mode, secondary_static=secondary_static)
         acc_ref[:, 0:1] += jnp.sum(
             jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1,
             keepdims=True)
@@ -489,7 +494,8 @@ def resident_fits(n_capacity: int) -> bool:
 @partial(
     jax.jit,
     static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret",
-                     "check_every", "debug_mode", "window_mode"),
+                     "check_every", "debug_mode", "window_mode",
+                     "secondary_static"),
 )
 def pallas_render_culled_v4(
     rays_o, rays_d, gpack, candidates, cand_near, num, near, far,
@@ -499,6 +505,7 @@ def pallas_render_culled_v4(
     max_hits: int = 16, cluster: int = 128, tile: int = 256,
     interpret: bool = False, alive=None, check_every: int = 8,
     debug_mode: int = 0, t_split=None, window_mode: int = 0,
+    secondary_static: int = -1,
 ):
     """VMEM-resident culled trace + composite.  Same contract as v3.
 
@@ -564,7 +571,8 @@ def pallas_render_culled_v4(
     return pl.pallas_call(
         partial(_render_kernel_v4, K=K, cluster=cluster,
                 exp_power=float(exp_power), check_every=check_every,
-                debug_mode=debug_mode, window_mode=window_mode),
+                debug_mode=debug_mode, window_mode=window_mode,
+                secondary_static=secondary_static),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, OUT_LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -638,19 +646,23 @@ def _drain_striped_slots(valid, t, alpha, base_id, gblock_hi, fblock,
         g_val = jnp.sum(jnp.where(lane_oh, gid, 0.0), axis=1, keepdims=True)
         dn = (((1,), (1,)), ((), ()))
         v1 = jax.lax.dot_general(ohf, gblock_hi, dn,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
         v1 = jnp.where(col16 == STRIPE_T, tmin, v1)
         v1 = jnp.where(col16 == STRIPE_ALPHA, a_val, v1)
         v2 = jax.lax.dot_general(ohf, fblock, dn,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
         v2 = jnp.pad(v2, ((0, 0), (0, SB2 - FTABLE_A)))
         v2 = jnp.where(col32 == STRIPE2_ID, g_val, v2)
         sprd1 = jax.lax.dot_general(
             v1, sp1, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         sprd2 = jax.lax.dot_general(
             v2, sp2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
         slot_t = tstripe()
         s_is_max = slot_t >= kth
@@ -674,7 +686,7 @@ def _slots_kernel_v4(
     slots_out_ref, acc_out_ref,
     slot1_ref, slot2_ref, acc_ref,
     *, K: int, cluster: int, exp_power: float, check_every: int,
-    window_mode: int = 0,
+    window_mode: int = 0, secondary_static: int = -1,
 ):
     ti = pl.program_id(0)
     log_thr = scalar_ref[9]
@@ -698,7 +710,8 @@ def _slots_kernel_v4(
         off = pl.ds(c * cluster, cluster)
         tt, alpha, valid, gvalid = _pair_math(
             scalar_ref, rays_ref, gpack_ref.at[:, off],
-            exp_power=exp_power, window_mode=window_mode)
+            exp_power=exp_power, window_mode=window_mode,
+            secondary_static=secondary_static)
         acc_ref[:, 0:1] += jnp.sum(
             jnp.where(valid, jnp.log1p(-alpha), 0.0), axis=1,
             keepdims=True)
@@ -769,7 +782,7 @@ def slots_resident_fits(n_capacity: int) -> bool:
 @partial(
     jax.jit,
     static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret",
-                     "check_every", "window_mode"),
+                     "check_every", "window_mode", "secondary_static"),
 )
 def pallas_trace_slots_v4(
     rays_o, rays_d, gpack, ftable, candidates, cand_near, near, far,
@@ -777,7 +790,7 @@ def pallas_trace_slots_v4(
     backfacing_invalid_normal_threshold, transmittance_threshold=0.01,
     max_hits: int = 32, cluster: int = 128, tile: int = 256,
     interpret: bool = False, alive=None, check_every: int = 8,
-    t_split=None, window_mode: int = 0,
+    t_split=None, window_mode: int = 0, secondary_static: int = -1,
 ):
     """VMEM-resident full-payload slots trace.  Same returns as
     render_kernel.pallas_trace_slots: (slots [R, SLOT_BLOCKS*K], acc
@@ -854,7 +867,7 @@ def pallas_trace_slots_v4(
     return pl.pallas_call(
         partial(_slots_kernel_v4, K=K, cluster=cluster,
                 exp_power=float(exp_power), check_every=check_every,
-                window_mode=window_mode),
+                window_mode=window_mode, secondary_static=secondary_static),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((R, NPK), jnp.float32),

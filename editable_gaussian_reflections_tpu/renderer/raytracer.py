@@ -55,6 +55,15 @@ class RenderSettings(NamedTuple):
     reflection_invalid_normal_threshold: float = 0.7
     backfacing_invalid_normal_threshold: float = 0.9
     backfacing_max_dist: float = 0.1
+    # kill secondary rays whose cumulative throughput max-channel falls to
+    # or below this value: they cannot contribute visibly, but the
+    # reference traces them anyway (shaders.cu's bounce loop has no
+    # throughput cutoff), so the default -1 disables the cutoff entirely
+    # for bit-parity; 0.0 kills only exactly-zero rays (rgb-identical
+    # output), small positive values (~1e-3) trade invisible contributions
+    # for skipping most of the last bounce pass (render-only knob -
+    # training never reads it)
+    secondary_throughput_threshold: float = -1.0
 
 
 class CameraParams(NamedTuple):
@@ -495,6 +504,7 @@ def render_tile_with_grads_fused(
                     max_hits=K_p, cluster=cull_cluster, tile=cull_tile,
                     interpret=interpret, alive=al_k,
                     t_split=ts_k, window_mode=wmode,
+                    secondary_static=1 if step > 0 else 0,
                 )
             else:
                 slots, acc = pallas_trace_slots(
@@ -506,6 +516,7 @@ def render_tile_with_grads_fused(
                     transmittance_threshold=settings.transmittance_threshold,
                     max_hits=K_p, cluster=cull_cluster, tile=cull_tile,
                     interpret=interpret, alive=al_k,
+                    secondary_static=1 if step > 0 else 0,
                 )
             if inv_p is not None:
                 # [R, lanes] row-gathers return the slots to original ray
@@ -993,6 +1004,11 @@ def _fused_bounce_core(
                     max_hits=K_p, cluster=cull_cluster, tile=tile_p,
                     interpret=interpret, alive=al,
                     t_split=ts, window_mode=wmode,
+                    # the bounce index is a Python constant: compile the
+                    # backfacing-reject test out of primary passes (~15%
+                    # of the pair math) instead of gating it on the traced
+                    # `secondary` scalar
+                    secondary_static=1 if step > 0 else 0,
                 )
                 return out
 
@@ -1099,6 +1115,14 @@ def _fused_bounce_core(
         )
         next_throughput = jnp.where(
             next_alive[:, None], throughput * jnp.nan_to_num(w), 0.0
+        )
+        # throughput cutoff (default off, see RenderSettings): a ray whose
+        # max-channel throughput is <= the threshold composites nothing
+        # visible at any later bounce - its tiles drop out of the next
+        # pass's wavefront entirely after the liveness re-sort
+        next_alive &= (
+            jnp.max(next_throughput, axis=-1)
+            > settings.secondary_throughput_threshold
         )
         outs.append(
             dict(

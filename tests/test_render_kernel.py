@@ -370,3 +370,73 @@ def test_backend_kwargs_splat_into_every_accumulation_path():
                                        spp=2, spp_chunk=1, fused=False,
                                        **base_kw, **sec)
     assert np.isfinite(np.asarray(fc)).all()
+
+
+@pytest.mark.parametrize("secondary", [0, 1])
+def test_secondary_static_matches_dynamic_gate(secondary):
+    """Compiling the backfacing-reject test in (1) or out (0) of the pair
+    math must reproduce the dynamic `secondary` scalar gate EXACTLY - the
+    bounce index is a Python constant at every call site, so the static
+    variant is what production runs (shaders.cu:52-57 only applies the
+    reject to secondary rays)."""
+    scene, frames, attrs = _room()
+    gpack = pack_frames(frames, attrs)
+    table = rk.pack_attr_table(attrs)
+    bounds = cluster_bounds(frames, 256)
+    rays_o, rays_d = _rays()
+    znear, zfar = jnp.float32(0.05), jnp.float32(50.0)
+    cands, cnear, _n, _o = select_candidates(
+        rays_o, rays_d, bounds, znear, zfar, tile=256, max_clusters=8)
+    kw = dict(transmittance_threshold=SETTINGS.transmittance_threshold,
+              eps_forward_normalization=SETTINGS.eps_forward_normalization,
+              max_hits=16, cluster=256, tile=256, interpret=True)
+    dyn = rk.pallas_render_culled(
+        rays_o, rays_d, gpack, table, cands, cnear, znear, zfar, 3.0,
+        float(secondary), SETTINGS.backfacing_max_dist,
+        SETTINGS.backfacing_invalid_normal_threshold, **kw)
+    stat = rk.pallas_render_culled(
+        rays_o, rays_d, gpack, table, cands, cnear, znear, zfar, 3.0,
+        float(secondary), SETTINGS.backfacing_max_dist,
+        SETTINGS.backfacing_invalid_normal_threshold,
+        secondary_static=secondary, **kw)
+    np.testing.assert_array_equal(np.asarray(stat), np.asarray(dyn))
+
+
+def test_throughput_cutoff_exactness_and_kill():
+    """secondary_throughput_threshold semantics: -1 (default) is the
+    reference behavior; an over-threshold cutoff kills every secondary ray,
+    making the 2-bounce final EQUAL the 0-bounce final (dead rays composite
+    nothing); a tiny cutoff stays visually exact on this scene."""
+    scene, _, _ = _room()
+    eye, c2w = room_camera()
+    camera = CameraParams(
+        origin=jnp.asarray(eye), c2w=jnp.asarray(c2w),
+        fov_y=jnp.asarray(0.9), znear=jnp.asarray(0.05),
+        zfar=jnp.asarray(50.0))
+    key = jax.random.PRNGKey(11)
+    W = H = 32
+    kw = dict(max_hits=16, cull_cluster=256, max_clusters=8,
+              rays_per_call=512, interpret=True)
+
+    _, final_nb0 = render_frame_fused(
+        scene, camera, SETTINGS, key, W, H, num_bounces=0, **kw)
+    steps_kill, final_kill = render_frame_fused(
+        scene, camera,
+        SETTINGS._replace(secondary_throughput_threshold=1e9),
+        key, W, H, num_bounces=2, **kw)
+    np.testing.assert_array_equal(np.asarray(final_kill),
+                                  np.asarray(final_nb0))
+    # the kill actually happened: no ray is alive past step 0
+    assert np.asarray(steps_kill.alive)[1:].sum() == 0.0
+
+    steps_ref, final_ref = render_frame_fused(
+        scene, camera, SETTINGS, key, W, H, num_bounces=2, **kw)
+    steps_cut, final_cut = render_frame_fused(
+        scene, camera,
+        SETTINGS._replace(secondary_throughput_threshold=1e-4),
+        key, W, H, num_bounces=2, **kw)
+    # killed rays contribute at most threshold-scale radiance
+    np.testing.assert_allclose(np.asarray(final_cut),
+                               np.asarray(final_ref), atol=2e-4)
+    assert (np.asarray(steps_cut.alive).sum()
+            <= np.asarray(steps_ref.alive).sum())

@@ -92,11 +92,31 @@ def main():
     results = []
     for cfg in args.configs.split(","):
         cfg_kw = parse_render_config(cfg)
+        # the per-call SMEM prefetch holds candidates + cand_near
+        # (tiles/call x mc x 8 bytes, CE=8-padded mc) for the widest pass;
+        # shrink rays_per_call so it stays under ~0.7 MB of the 1 MB SMEM
+        # (config 96:192:128 measured 1.6 KB over the limit at 65536)
+        def pad8(m):
+            return (m + 7) // 8 * 8
+        per_ray = max(
+            pad8(cfg_kw["max_clusters"]) / cfg_kw["cull_tile_primary"],
+            pad8(cfg_kw["max_clusters_secondary"])
+            / cfg_kw["cull_tile_secondary"],
+            (pad8(cfg_kw["mc_far"]) / cfg_kw["cull_tile_secondary"]
+             if cfg_kw["split_far"] else 0.0),
+        ) * 8.0
+        tile_lcm = max(cfg_kw["cull_tile_primary"],
+                       cfg_kw["cull_tile_secondary"])
+        rpc = min(args.rays_per_call,
+                  int(0.7 * 2**20 / per_ray) // tile_lcm * tile_lcm)
+        if rpc != args.rays_per_call:
+            print(f"{cfg}: rays_per_call {args.rays_per_call} -> {rpc} "
+                  f"(SMEM budget)", file=sys.stderr)
         fn = lambda k: render_frame_fused(
             scene, camera, settings, k, W, H,
             num_bounces=2, max_hits=args.max_hits,
             cull_cluster=args.cluster,
-            rays_per_call=args.rays_per_call, **cfg_kw,
+            rays_per_call=rpc, **cfg_kw,
         )
         steps, final = fn(key)
         np.asarray(final)                       # force the lazy axon compile
