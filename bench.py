@@ -110,6 +110,10 @@ def _bench():
         fused_kw = dict(parse_render_config(best["mc"]),
                         max_hits=best.get("max_hits", 16),
                         cull_cluster=best.get("cluster", 128))
+        tcut = fused_kw.pop("throughput_cutoff", -1.0)
+        if tcut > 0:
+            settings = settings._replace(
+                secondary_throughput_threshold=tcut)
         print(f"bench config from sweep best-honest: {best['mc']} "
               f"(K={fused_kw['max_hits']}, cluster="
               f"{fused_kw['cull_cluster']})", file=__import__('sys').stderr)

@@ -168,7 +168,9 @@ def select_candidates(
     on StepOutputs, and size max_clusters so starved stays ~0; bench.py and
     the parity run report it.
     Returns (candidates int32 [T, MC] (-1 = empty), cand_near f32 [T, MC]
-    conservative near distance per candidate, num [T], overflow [T]).
+    conservative near distance per candidate, num [T], overflow [T],
+    t_drop f32 [T] - near distance of the first dropped cluster, +inf when
+    none were dropped).
     """
     cones = tile_cones(rays_o, rays_d, tile)
     vis = cone_sphere_visible(cones, bounds, near, far)      # [T, NC]
@@ -177,13 +179,27 @@ def select_candidates(
     along = jnp.sum(rel * cones.axis[:, None, :], axis=-1)   # [T, NC]
     near_dist = along - (bounds.radius[None] + cones.origin_radius[:, None])
     key = jnp.where(vis, near_dist, jnp.inf)
-    neg, idx = jax.lax.top_k(-key, min(max_clusters, key.shape[1]))
-    got = jnp.isfinite(-neg)
-    candidates = jnp.where(got, idx, -1).astype(jnp.int32)
-    cand_near = jnp.where(got, -neg, jnp.float32(3e38))
+    # one extra entry: the FIRST DROPPED cluster's conservative near
+    # distance t_drop (+inf when nothing overflows).  A ray can only be
+    # biased by the drop if its own depth window reaches past t_drop -
+    # in the split-far near pass most rays' t_split ends before the
+    # per-tile window does, so the per-tile overflow flag alone wildly
+    # overstates starvation (measured 0.49 flagged vs actual at s32)
+    kk = min(max_clusters + 1, key.shape[1])
+    neg, idx = jax.lax.top_k(-key, kk)
+    nearest = -neg
+    got = jnp.isfinite(nearest[:, :max_clusters])
+    candidates = jnp.where(
+        got, idx[:, :max_clusters], -1).astype(jnp.int32)
+    cand_near = jnp.where(got, nearest[:, :max_clusters], jnp.float32(3e38))
     num = jnp.sum(got.astype(jnp.int32), axis=1)
     overflow = jnp.sum(vis.astype(jnp.int32), axis=1) > max_clusters
-    return candidates, cand_near, num, overflow
+    if kk > max_clusters:
+        t_drop = jnp.where(jnp.isfinite(nearest[:, max_clusters]),
+                           nearest[:, max_clusters], jnp.inf)
+    else:
+        t_drop = jnp.full(key.shape[:1], jnp.inf, jnp.float32)
+    return candidates, cand_near, num, overflow, t_drop
 
 
 @partial(jax.jit, static_argnames=("tile", "cluster", "max_clusters"))
@@ -194,7 +210,7 @@ def cull_clusters(
     """Convenience: cluster_bounds + select_candidates in one call.
     Returns (candidates, num, overflow) for backward compatibility."""
     bounds = cluster_bounds(frames, cluster)
-    candidates, _cand_near, num, overflow = select_candidates(
+    candidates, _cand_near, num, overflow, _t_drop = select_candidates(
         rays_o, rays_d, bounds, near, far, tile=tile,
         max_clusters=max_clusters,
     )

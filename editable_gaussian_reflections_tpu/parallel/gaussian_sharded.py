@@ -128,7 +128,7 @@ def gaussian_sharded_trace(
         bounds = cluster_bounds(frames_p, cull_cluster)
         gpack = pack_frames(frames_p, attrs_p)
         ftable = pack_frame_table(frames_p, scene_p)
-        cands, cnear, num, _ovf = select_candidates(
+        cands, cnear, num, _ovf, _tdrop = select_candidates(
             o, d, bounds, near, far, tile=cull_tile,
             max_clusters=max_clusters)
         slots, acc = pallas_trace_slots_v4(

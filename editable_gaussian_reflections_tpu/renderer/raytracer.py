@@ -121,16 +121,22 @@ def _mask_hits(hits, alive):
     )
 
 
-def _starved(ovf_ray, full_T, alive, transmittance_threshold):
-    """Refine the per-tile overflow flag to the rays it can actually bias.
+def _starved(t_drop_ray, t_limit, full_T, alive, transmittance_threshold):
+    """Refine the per-tile overflow to the rays it can actually bias.
 
     A cluster dropped beyond max_clusters is the FARTHEST one in the tile's
-    list; it can only change a ray that was still accumulating (full_T above
-    the transmittance threshold) when the computed list ran out.  Saturated
-    rays truncate there regardless - identically to the reference, whose
-    PPLL loop stops at saturation (forward_pass.cu:55-83).  Dead rays
-    composite nothing."""
-    return ovf_ray * ((full_T > transmittance_threshold) & alive).astype(
+    list (conservative near distance t_drop); it can only change a ray that
+    (a) was still accumulating (full_T above the transmittance threshold)
+    when the computed list ran out - saturated rays truncate there
+    regardless, identically to the reference, whose PPLL loop stops at
+    saturation (forward_pass.cu:55-83) - and (b) whose own depth window
+    reaches past t_drop: in the split-far near pass a ray's window ends at
+    its OWN split-sphere exit `t_limit`, typically well before the per-tile
+    window (everything beyond is the far pass's job), so the per-tile flag
+    alone overstates starvation several-fold.  Dead rays composite
+    nothing."""
+    reaches = jnp.asarray(t_limit, jnp.float32) > t_drop_ray
+    return (reaches & (full_T > transmittance_threshold) & alive).astype(
         jnp.float32)
 
 
@@ -173,11 +179,11 @@ def render_tile(
         if use_pallas and culling is not None:
             from ..ops.culling import select_candidates
             from ..ops.trace import trace_rays_culled
-            cands, cnear, _num, ovf = select_candidates(
+            cands, cnear, _num, _ovf, tdrop = select_candidates(
                 rays_o, rays_d, culling["bounds"], near, zfar,
                 tile=culling["cull_tile"], max_clusters=culling["mc"],
             )
-            ovf_ray = jnp.repeat(ovf.astype(dtype), culling["cull_tile"])
+            tdrop_ray = jnp.repeat(tdrop, culling["cull_tile"])
             hits, slot_attrs = trace_rays_culled(
                 rays_o, rays_d, frames, gpack, cands, cnear,
                 exp_power_static, near, zfar,
@@ -208,7 +214,7 @@ def render_tile(
             )
             slot_attrs = None
         if not (use_pallas and culling is not None):
-            ovf_ray = jnp.zeros((R,), dtype)
+            tdrop_ray = jnp.full((R,), jnp.inf, jnp.float32)
         hits = _mask_hits(hits, alive)
 
         if slot_attrs is not None:
@@ -261,7 +267,7 @@ def render_tile(
                 total_transmittance=comp.full_T,
                 throughput=next_throughput,
                 alive=alive.astype(dtype),  # float so SPP accumulation can sum
-                overflow=_starved(ovf_ray, comp.full_T, alive,
+                overflow=_starved(tdrop_ray, zfar, comp.full_T, alive,
                                   settings.transmittance_threshold),
             )
         )
@@ -488,11 +494,11 @@ def render_tile_with_grads_fused(
                        K_p, wmode, inv_p):
             """One slots-kernel trace in the given ray order; returns
             (slots, acc, raw-overflow, cands) in CANONICAL order."""
-            cands, cnear, _n, ovf = select_candidates(
+            cands, cnear, _n, _ovf, tdrop = select_candidates(
                 ro_k, rd_k, bounds, cull_near, cull_far, tile=cull_tile,
                 max_clusters=mc_p,
             )
-            ovf_r = jnp.repeat(ovf.astype(jnp.float32), cull_tile)
+            tdrop_r = jnp.repeat(tdrop, cull_tile)
             if slots_resident_fits(n_capacity):
                 # VMEM-resident path: zero per-chunk HBM fetches (round-3)
                 slots, acc = pallas_trace_slots_v4(
@@ -524,23 +530,23 @@ def render_tile_with_grads_fused(
                 # backward, scatter) is row-local
                 slots = slots[inv_p]
                 acc = acc[inv_p]
-                ovf_r = ovf_r[inv_p]
-            return slots, acc, ovf_r, cands
+                tdrop_r = tdrop_r[inv_p]
+            return slots, acc, tdrop_r, cands
 
         if not split:
-            slots, acc, ovf_ray, cands = trace_pass(
+            slots, acc, tdrop_ray, cands = trace_pass(
                 rays_o_k, rays_d_k, alive_k, None, near, zfar,
                 max_clusters, K, 0, inv_order,
             )
             K_step = K
             acc_near = acc
-            ovf_near = ovf_ray
+            tdrop_near = tdrop_ray
             alive_far = alive
         else:
             ts = split_exit_t(rays_o, rays_d)
             ts_k = ts[order] if order is not None else ts
             far_n = jnp.max(ts_k.reshape(-1, cull_tile), axis=1)
-            slots_n, acc_n, ovf_near, cands = trace_pass(
+            slots_n, acc_n, tdrop_near, cands = trace_pass(
                 rays_o_k, rays_d_k, alive_k, ts_k, near, far_n,
                 max_clusters, K, 1, inv_order,
             )
@@ -564,13 +570,12 @@ def render_tile_with_grads_fused(
                 inv_f = None
                 ro_f, rd_f, al_f, ts_f = rays_o, rays_d, alive_far, ts
             near_f = jnp.min(ts_f.reshape(-1, cull_tile), axis=1)
-            slots_f, acc_f, ovf_far, _cf = trace_pass(
+            slots_f, acc_f, tdrop_far, _cf = trace_pass(
                 ro_f, rd_f, al_f, ts_f, near_f, zfar, mc_far, Kf, 2, inv_f,
             )
             slots, acc = merge_slots(slots_n, acc_n, slots_f, acc_f, K, Kf)
             K_step = K + Kf
             acc_near = acc_n
-            ovf_ray = jnp.maximum(ovf_near, ovf_far)
         hits_d, attrs_d, frames_d = unpack_slots(slots, acc, K_step, rays_o,
                                                  rays_d)
         hits = RayHits(**{k: hits_d[k] for k in RayHits._fields})
@@ -601,14 +606,15 @@ def render_tile_with_grads_fused(
             next_alive[:, None], throughput * jnp.nan_to_num(w), 0.0
         )
         if split:
+            # near pass: a ray's window ends at its own split exit ts
             starved_step = jnp.maximum(
-                _starved(ovf_near, jnp.exp(acc_near[:, 0]), alive,
+                _starved(tdrop_near, ts, jnp.exp(acc_near[:, 0]), alive,
                          settings.transmittance_threshold),
-                _starved(ovf_far, comp.full_T, alive_far,
+                _starved(tdrop_far, zfar, comp.full_T, alive_far,
                          settings.transmittance_threshold),
             )
         else:
-            starved_step = _starved(ovf_ray, comp.full_T, alive,
+            starved_step = _starved(tdrop_near, zfar, comp.full_T, alive,
                                     settings.transmittance_threshold)
         outs.append(dict(
             rgb=rgb_step, normal=comp.normal, f0=comp.f0,
@@ -976,12 +982,12 @@ def _fused_bounce_core(
                      tile_p, wmode, inv_p, K_p=max_hits):
             """One culled kernel pass over the (ordered) wavefront; returns
             (composite dict, per-ray raw-overflow) in CANONICAL order."""
-            cands, cnear, num, ovf = select_candidates(
+            cands, cnear, num, _ovf, tdrop = select_candidates(
                 rays_o=ro_k, rays_d=rd_k, bounds=bounds,
                 near=cull_near, far=cull_far,
                 tile=tile_p, max_clusters=mc_p,
             )
-            ovf_ray = jnp.repeat(ovf.astype(jnp.float32), tile_p)
+            tdrop_ray = jnp.repeat(tdrop, tile_p)
             mc = cands.shape[1]
             tpc = rays_per_call // tile_p    # tiles per kernel call
 
@@ -1024,16 +1030,16 @@ def _fused_bounce_core(
             out = out.reshape(Rp, -1)
             if inv_p is not None:
                 out = out[inv_p]
-                ovf_ray = ovf_ray[inv_p]
-            return unpack_composite(out), ovf_ray
+                tdrop_ray = tdrop_ray[inv_p]
+            return unpack_composite(out), tdrop_ray
 
         if not split_far:
             zeros_ts = jnp.zeros((Rp,), jnp.float32)
-            comp, ovf_ray = run_pass(
+            comp, tdrop_ray = run_pass(
                 rays_o_k, rays_d_k, alive_k, zeros_ts, near, zfar,
                 mc_step, tile_step, 0, inv_order,
             )
-            starved_step = _starved(ovf_ray, comp["full_T"], alive,
+            starved_step = _starved(tdrop_ray, zfar, comp["full_T"], alive,
                                     settings.transmittance_threshold)
         else:
             ts = split_exit_t(rays_o, rays_d)
@@ -1041,7 +1047,7 @@ def _fused_bounce_core(
             # near pass: per-tile depth window capped at the tile's largest
             # split distance (shell clusters cull out of the window)
             far_n = jnp.max(ts_k.reshape(-1, tile_step), axis=1)
-            comp_n, ovf_n = run_pass(
+            comp_n, tdrop_n = run_pass(
                 rays_o_k, rays_d_k, alive_k, ts_k, near, far_n,
                 mc_step, tile_step, 1, inv_order,
             )
@@ -1069,7 +1075,7 @@ def _fused_bounce_core(
                 inv_f = None
                 ro_f, rd_f, al_f, ts_f = rays_o, rays_d, alive_f, ts
             near_f = jnp.min(ts_f.reshape(-1, tile_step), axis=1)
-            comp_f, ovf_f = run_pass(
+            comp_f, tdrop_f = run_pass(
                 ro_f, rd_f, al_f, ts_f, near_f, zfar,
                 mc_far, tile_step, 2, inv_f,
                 K_p=max_hits_far or max_hits,
@@ -1089,9 +1095,9 @@ def _fused_bounce_core(
                 full_T=fTn * comp_f["full_T"],
             )
             starved_step = jnp.maximum(
-                _starved(ovf_n, comp_n["full_T"], alive,
+                _starved(tdrop_n, ts, comp_n["full_T"], alive,
                          settings.transmittance_threshold),
-                _starved(ovf_f, comp["full_T"], alive_f,
+                _starved(tdrop_f, zfar, comp["full_T"], alive_f,
                          settings.transmittance_threshold),
             )
 

@@ -131,11 +131,13 @@ def render(
     rgb = chw(steps.rgb)
     final_img = np.asarray(final).reshape(H, W, 3).transpose(2, 0, 1)
     if denoise:
-        from .denoise import atrous_denoise
+        from .denoise import denoise_specular
         normal0 = np.asarray(steps.normal[0]).reshape(H, W, 3)
         depth0 = np.asarray(steps.depth[0]).reshape(H, W)
-        final_img = atrous_denoise(
-            final_img.transpose(1, 2, 0), normal0, depth0
+        rough0 = np.asarray(steps.roughness[0]).reshape(H, W)
+        diffuse0 = np.asarray(steps.rgb[0]).reshape(H, W, 3)
+        final_img = denoise_specular(
+            final_img.transpose(1, 2, 0), diffuse0, normal0, depth0, rough0
         ).transpose(2, 0, 1)
 
     t = camera if targets_available else None

@@ -149,11 +149,13 @@ def render_set(cli, cfg, split, iteration, views, scene_params, settings):
             rgb = np.asarray(steps.rgb).reshape(-1, H, W, 3)
             final_img = np.asarray(final).reshape(H, W, 3)
             if cli.denoise:
-                from editable_gaussian_reflections_tpu.renderer.denoise import atrous_denoise
-                final_img = atrous_denoise(
+                from editable_gaussian_reflections_tpu.renderer.denoise import denoise_specular
+                final_img = denoise_specular(
                     final_img,
+                    rgb[0],
                     np.asarray(steps.normal[0]).reshape(H, W, 3),
                     np.asarray(steps.depth[0]).reshape(H, W),
+                    np.asarray(steps.roughness[0]).reshape(H, W),
                     spp=cli.spp,
                 )
 

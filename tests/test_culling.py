@@ -100,7 +100,7 @@ def test_candidates_sorted_by_near_distance():
     frames, _ = build_frames(scene, 0.005, 3.0)
     o, d = rays(r=32, seed=8)
     bounds = cluster_bounds(frames, 16)
-    _, cand_near, _, _ = select_candidates(
+    _, cand_near, _, _, _ = select_candidates(
         o, d, bounds, jnp.float32(0.1), jnp.float32(100.0),
         tile=16, max_clusters=8)
     cn = np.asarray(cand_near)
@@ -122,16 +122,16 @@ def test_per_tile_depth_windows_match_scalar():
     o, d = rays(r=32, seed=10)
     bounds = cluster_bounds(frames, 16)
     T = 32 // 16
-    c0, n0, num0, ovf0 = select_candidates(
+    c0, n0, num0, ovf0, td0 = select_candidates(
         o, d, bounds, jnp.float32(0.1), jnp.float32(100.0),
         tile=16, max_clusters=8)
-    c1, n1, num1, ovf1 = select_candidates(
+    c1, n1, num1, ovf1, td1 = select_candidates(
         o, d, bounds, jnp.full((T,), 0.1, jnp.float32),
         jnp.full((T,), 100.0, jnp.float32), tile=16, max_clusters=8)
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
     np.testing.assert_array_equal(np.asarray(num0), np.asarray(num1))
 
-    c2, _, num2, _ = select_candidates(
+    c2, _, num2, _, _ = select_candidates(
         o, d, bounds, jnp.float32(0.1), jnp.full((T,), 2.0, jnp.float32),
         tile=16, max_clusters=8)
     assert np.all(np.asarray(num2) <= np.asarray(num0))
@@ -141,12 +141,47 @@ def test_per_tile_depth_windows_match_scalar():
         assert got <= allc
 
 
-def test_starved_flags_only_unsaturated_alive_rays():
+def test_starved_flags_only_unsaturated_alive_reaching_rays():
     from editable_gaussian_reflections_tpu.renderer.raytracer import _starved
 
-    ovf = jnp.asarray([1.0, 1.0, 1.0, 0.0])
-    full_T = jnp.asarray([0.5, 0.001, 0.5, 0.5])   # thr = 0.01
-    alive = jnp.asarray([True, True, False, True])
-    out = np.asarray(_starved(ovf, full_T, alive, 0.01))
-    # only ray 0: overflowed AND unsaturated AND alive
-    assert out.tolist() == [1.0, 0.0, 0.0, 0.0]
+    # t_drop = near distance of the first dropped cluster (+inf: no drop)
+    tdrop = jnp.asarray([1.0, 1.0, 1.0, jnp.inf, 1.0])
+    tlim = jnp.asarray([5.0, 5.0, 5.0, 5.0, 0.5])  # ray window end
+    full_T = jnp.asarray([0.5, 0.001, 0.5, 0.5, 0.5])   # thr = 0.01
+    alive = jnp.asarray([True, True, False, True, True])
+    out = np.asarray(_starved(tdrop, tlim, full_T, alive, 0.01))
+    # only ray 0: dropped cluster inside its window AND unsaturated AND
+    # alive; ray 4's own window (split exit 0.5) ends before the drop
+    assert out.tolist() == [1.0, 0.0, 0.0, 0.0, 0.0]
+
+
+def test_select_candidates_t_drop():
+    """t_drop is the (mc+1)-th nearest visible cluster's near distance and
+    +inf when nothing overflowed; shrinking mc by one makes the last kept
+    candidate's distance the new t_drop."""
+    from editable_gaussian_reflections_tpu.ops.culling import (
+        cluster_bounds,
+        select_candidates,
+    )
+
+    scene = make_scene(n=240, seed=11)
+    frames, _ = build_frames(scene, 0.005, 3.0)
+    o, d = rays(r=32, seed=12)
+    bounds = cluster_bounds(frames, 16)
+    cA, nA, numA, ovfA, tdA = select_candidates(
+        o, d, bounds, jnp.float32(0.1), jnp.float32(100.0),
+        tile=16, max_clusters=4)
+    cB, nB, numB, ovfB, tdB = select_candidates(
+        o, d, bounds, jnp.float32(0.1), jnp.float32(100.0),
+        tile=16, max_clusters=3)
+    tdA, tdB = np.asarray(tdA), np.asarray(tdB)
+    ovfA, ovfB = np.asarray(ovfA), np.asarray(ovfB)
+    nA = np.asarray(nA)
+    for t in range(tdA.shape[0]):
+        assert np.isfinite(tdA[t]) == ovfA[t]
+        if ovfA[t]:
+            # A's drop comes at or after A's last kept candidate
+            assert tdA[t] >= nA[t, 3]
+        if ovfB[t] and numB[t] == 3 and np.asarray(numA)[t] >= 4:
+            # B dropped exactly what A kept 4th
+            np.testing.assert_allclose(tdB[t], nA[t, 3], rtol=1e-6)

@@ -135,7 +135,7 @@ def test_culled_trace_matches_xla(secondary):
 
     cluster = 32
     bounds = cluster_bounds(frames, cluster)
-    cands, cnear, num, ovf = select_candidates(
+    cands, cnear, num, ovf, _td = select_candidates(
         o, d, bounds, near, far, tile=16, max_clusters=8,
     )
     assert not bool(np.asarray(ovf).any())

@@ -72,7 +72,7 @@ def test_fused_composite_matches_pipeline(secondary):
     bounds = cluster_bounds(frames, 256)
     rays_o, rays_d = _rays()
     znear, zfar = jnp.float32(0.05), jnp.float32(50.0)
-    cands, cnear, _n, _o = select_candidates(
+    cands, cnear, _n, _o, _td = select_candidates(
         rays_o, rays_d, bounds, znear, zfar, tile=256, max_clusters=8)
 
     out = rk.pallas_render_culled(
@@ -111,7 +111,7 @@ def test_fused_composite_masks_dead_rays():
     bounds = cluster_bounds(frames, 256)
     rays_o, rays_d = _rays()
     znear, zfar = jnp.float32(0.05), jnp.float32(50.0)
-    cands, cnear, _n, _o = select_candidates(
+    cands, cnear, _n, _o, _td = select_candidates(
         rays_o, rays_d, bounds, znear, zfar, tile=256, max_clusters=8)
     alive = (jnp.arange(rays_o.shape[0]) % 2) == 0
     out = rk.pallas_render_culled(
@@ -385,7 +385,7 @@ def test_secondary_static_matches_dynamic_gate(secondary):
     bounds = cluster_bounds(frames, 256)
     rays_o, rays_d = _rays()
     znear, zfar = jnp.float32(0.05), jnp.float32(50.0)
-    cands, cnear, _n, _o = select_candidates(
+    cands, cnear, _n, _o, _td = select_candidates(
         rays_o, rays_d, bounds, znear, zfar, tile=256, max_clusters=8)
     kw = dict(transmittance_threshold=SETTINGS.transmittance_threshold,
               eps_forward_normalization=SETTINGS.eps_forward_normalization,

@@ -103,7 +103,7 @@ def test_kernel_t_window_partition_combines_exactly():
         rng.uniform(2.0, 60.0, R).astype(np.float32))
 
     def pass_(wmode, cull_near, cull_far):
-        cands, cnear, num, _ = select_candidates(
+        cands, cnear, num, _, _ = select_candidates(
             jnp.asarray(rays_o), jnp.asarray(rays_d), bounds,
             cull_near, cull_far, tile=tile, max_clusters=8)
         out = pallas_render_culled_v4(

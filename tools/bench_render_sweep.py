@@ -25,7 +25,10 @@ def parse_render_config(cfg: str):
     render_frame_fused (shared by bench.py to consume the sweep's
     best-honest pick)."""
     raw = cfg.split(":")
-    mc_far, k_far = 0, 0
+    mc_far, k_far, tcut = 0, 0, -1.0
+    if raw and raw[-1].startswith("tc"):
+        # throughput cutoff: tc3 = kill secondary rays below 1e-3
+        tcut = 10.0 ** -int(raw.pop()[2:])
     if raw and raw[-1].startswith("k"):
         k_far = int(raw.pop()[1:])
     if raw and raw[-1].startswith("s"):
@@ -39,6 +42,7 @@ def parse_render_config(cfg: str):
         split_far=mc_far > 0,
         mc_far=mc_far or 32,
         max_hits_far=k_far,
+        throughput_cutoff=tcut,
     )
 
 
@@ -86,12 +90,13 @@ def main():
         fov_y=jnp.asarray(0.9), znear=jnp.asarray(0.05),
         zfar=jnp.asarray(50.0),
     )
-    settings = RenderSettings()
     key = jax.random.PRNGKey(0)
 
     results = []
     for cfg in args.configs.split(","):
         cfg_kw = parse_render_config(cfg)
+        tcut = cfg_kw.pop("throughput_cutoff")
+        settings = RenderSettings(secondary_throughput_threshold=tcut)
         # the per-call SMEM prefetch holds candidates + cand_near
         # (tiles/call x mc x 8 bytes, CE=8-padded mc) for the widest pass;
         # shrink rays_per_call so it stays under ~0.7 MB of the 1 MB SMEM
@@ -131,10 +136,24 @@ def main():
         mrays = W * H / dt / 1e6
         row = dict(mc=cfg, mrays=round(mrays, 3), s=round(dt, 3),
                    starved=ovf_by_step)
+        if tcut > 0:
+            # honesty check for the throughput cutoff: tonemapped PSNR vs
+            # the same config without the cutoff must be visually exact
+            from editable_gaussian_reflections_tpu.ops.tonemap import tonemap
+            _, final_ref = render_frame_fused(
+                scene, camera, RenderSettings(), key, W, H,
+                num_bounces=2, max_hits=args.max_hits,
+                cull_cluster=args.cluster, rays_per_call=rpc, **cfg_kw)
+            a = np.clip(np.asarray(tonemap(final)), 0, 1)
+            b = np.clip(np.asarray(tonemap(final_ref)), 0, 1)
+            mse = float(np.mean((a - b) ** 2))
+            row["tc_psnr"] = round(10 * np.log10(1.0 / max(mse, 1e-12)), 2)
         results.append(row)
         print(json.dumps(row), flush=True)
 
-    best = max((r for r in results if max(r["starved"]) < 0.005),
+    best = max((r for r in results
+                if max(r["starved"]) < 0.005
+                and r.get("tc_psnr", 99.0) >= 45.0),
                key=lambda r: r["mrays"], default=None)
     print(json.dumps({"best_honest": best}))
     if best is not None:

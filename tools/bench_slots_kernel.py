@@ -90,7 +90,7 @@ def main():
 
     @jax.jit
     def cull(ro, rd, near):
-        cands, cnear, _n, ovf = select_candidates(
+        cands, cnear, _n, ovf, _tdrop = select_candidates(
             ro, rd, bounds, near, camera.zfar, tile=256,
             max_clusters=args.max_clusters)
         return cands, cnear, ovf

@@ -32,6 +32,7 @@ def main(argv=None):
     from editable_gaussian_reflections_tpu.ops.tonemap import tonemap
     from editable_gaussian_reflections_tpu.renderer.denoise import (
         atrous_denoise,
+        denoise_specular,
     )
     from editable_gaussian_reflections_tpu.renderer.raytracer import (
         CameraParams,
@@ -71,25 +72,31 @@ def main(argv=None):
             num_bounces=2, max_hits=32, cull_cluster=128,
             max_clusters=128)
         return (np.asarray(final).reshape(H, W, 3),
+                np.asarray(steps.rgb[0]).reshape(H, W, 3),
                 np.asarray(steps.normal[0]).reshape(H, W, 3),
-                np.asarray(steps.depth[0]).reshape(H, W))
+                np.asarray(steps.depth[0]).reshape(H, W),
+                np.asarray(steps.roughness[0]).reshape(H, W))
 
     def display(img):
         return np.clip(np.asarray(tonemap(jnp.asarray(img))), 0, 1)
 
-    ref_img, _, _ = render(args.ref_spp, 999)
+    ref_img, _, _, _, _ = render(args.ref_spp, 999)
     ref = display(ref_img)
 
     results = {}
     for spp in args.spp:
-        img, normal, depth = render(spp, 0)
+        img, diffuse, normal, depth, rough = render(spp, 0)
         plain = psnr(display(img), ref)
-        den = psnr(display(atrous_denoise(img, normal, depth, spp=spp)), ref)
+        legacy = psnr(display(atrous_denoise(img, normal, depth, spp=spp)),
+                      ref)
+        den = psnr(display(denoise_specular(img, diffuse, normal, depth,
+                                            rough, spp=spp)), ref)
         results[str(spp)] = dict(psnr=round(plain, 2),
                                  psnr_denoised=round(den, 2),
-                                 gain_db=round(den - plain, 2))
+                                 gain_db=round(den - plain, 2),
+                                 legacy_gain_db=round(legacy - plain, 2))
         print(f"spp={spp:4d}: psnr={plain:6.2f}  denoised={den:6.2f}  "
-              f"gain={den - plain:+.2f} dB")
+              f"gain={den - plain:+.2f} dB (legacy {legacy - plain:+.2f})")
 
     with open(args.out, "w") as f:
         json.dump(dict(size=args.size, ref_spp=args.ref_spp,

@@ -33,7 +33,7 @@ def main(argv=None):
     from editable_gaussian_reflections_tpu.config import load_model_config
     from editable_gaussian_reflections_tpu.ops.tonemap import tonemap
     from editable_gaussian_reflections_tpu.renderer.denoise import (
-        atrous_denoise,
+        denoise_specular,
     )
     from editable_gaussian_reflections_tpu.renderer.raytracer import (
         render_accumulated_chunked,
@@ -101,10 +101,13 @@ def main(argv=None):
                 rgb = np.asarray(steps.rgb).reshape(-1, H, W, 3)
                 final_img = np.asarray(final).reshape(H, W, 3)
                 if denoise:
-                    final_img = atrous_denoise(
+                    final_img = denoise_specular(
                         final_img,
+                        rgb[0],
                         np.asarray(steps.normal[0]).reshape(H, W, 3),
-                        np.asarray(steps.depth[0]).reshape(H, W), spp=spp)
+                        np.asarray(steps.depth[0]).reshape(H, W),
+                        np.asarray(steps.roughness[0]).reshape(H, W),
+                        spp=spp)
                 scores["diffuse"] += psnr(tm(rgb[0]),
                                           tm(view.diffuse_image))
                 scores["specular"] += psnr(tm(rgb[1:].sum(0)),
