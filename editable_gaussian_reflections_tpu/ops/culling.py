@@ -56,6 +56,23 @@ def morton_order(frames: GaussianFrames) -> jnp.ndarray:
     return jnp.argsort(key)
 
 
+def sort_within_clusters(frames: GaussianFrames, view_dir, cluster: int
+                         ) -> jnp.ndarray:
+    """Permutation depth-sorting gaussians WITHIN each `cluster`-sized group
+    along `view_dir`, preserving cluster membership (so cluster_bounds and
+    select_candidates outputs are unchanged).  Used by the v6 streaming
+    scan-composite kernel: its per-chunk compositing follows table order,
+    and a per-frame within-cluster depth sort tightens that toward true
+    per-ray depth order (tests/test_render_kernel_v6.py measures the
+    error reduction)."""
+    n = frames.mean.shape[0]
+    nc = n // cluster
+    depth = frames.mean @ jnp.asarray(view_dir, jnp.float32)
+    order = jnp.argsort(depth.reshape(nc, cluster), axis=1)
+    base = (jnp.arange(nc, dtype=order.dtype) * cluster)[:, None]
+    return (order + base).reshape(-1)
+
+
 class ClusterBounds(NamedTuple):
     center: jnp.ndarray   # [NC, 3]
     radius: jnp.ndarray   # [NC]

@@ -799,6 +799,7 @@ def _prepare_fused_frame(
     scene, camera, settings, key, width: int, height: int, *,
     jitter: bool, cull_cluster: int, cull_tile_primary: int,
     num_steps: int, split_far: bool, split_radius_scale: float,
+    composite_mode: str = "kbuffer",
 ):
     """Shared prologue of render_frame_fused / sharded_render_fused: Morton
     sort + cluster bounds + gpack, pixel-tile ray ordering, per-step GGX
@@ -819,6 +820,17 @@ def _prepare_fused_frame(
     perm = morton_order(frames)
     frames = jax.tree_util.tree_map(lambda a: a[perm], frames)
     attrs = jax.tree_util.tree_map(lambda a: a[perm], attrs)
+    if composite_mode == "scan":
+        # the v6 streaming composite follows table order within a chunk: a
+        # per-frame within-cluster depth sort along the camera forward axis
+        # tightens it toward true per-ray order (membership - and therefore
+        # cluster_bounds / select_candidates - is unchanged)
+        from ..ops.culling import sort_within_clusters
+
+        fwd = -camera.c2w[:, 2]
+        perm2 = sort_within_clusters(frames, fwd, cull_cluster)
+        frames = jax.tree_util.tree_map(lambda a: a[perm2], frames)
+        attrs = jax.tree_util.tree_map(lambda a: a[perm2], attrs)
     bounds = cluster_bounds(frames, cull_cluster)
     # the kernels extract shading attrs straight from gpack rows 16..31
     gpack = pack_frames(frames, attrs)
@@ -890,7 +902,7 @@ def _fused_bounce_core(
     rays_per_call: int, interpret: bool,
     max_clusters_secondary: int | None, cull_tile_secondary: int,
     cull_tile_primary: int, split_far: bool, mc_far: int,
-    max_hits_far: int,
+    max_hits_far: int, composite_mode: str = "kbuffer",
 ):
     """The fused per-bounce wavefront loop over a PREPARED ray batch.
 
@@ -988,6 +1000,23 @@ def _fused_bounce_core(
                 tile=tile_p, max_clusters=mc_p,
             )
             tdrop_ray = jnp.repeat(tdrop, tile_p)
+            if composite_mode == "scan":
+                # the streaming composite is most accurate when candidates
+                # arrive in expected per-ray depth order: re-sort each
+                # tile's list by cluster-CENTER depth along the tile's mean
+                # direction (near-sorted lists bias large clusters early,
+                # measured ~1.5x worse misordering error)
+                tpo = ro_k.reshape(-1, tile_p, 3).mean(1)
+                tpd = rd_k.reshape(-1, tile_p, 3).mean(1)
+                tpd = tpd / jnp.maximum(
+                    jnp.linalg.norm(tpd, axis=-1, keepdims=True), 1e-12)
+                cid = jnp.where(cands < 0, 0, cands)
+                cdep = jnp.einsum(
+                    "tmc,tc->tm", bounds.center[cid] - tpo[:, None, :], tpd)
+                ckey = jnp.where(cands < 0, jnp.inf, cdep)
+                corder = jnp.argsort(ckey, axis=1)
+                cands = jnp.take_along_axis(cands, corder, axis=1)
+                cnear = jnp.take_along_axis(cnear, corder, axis=1)
             mc = cands.shape[1]
             tpc = rays_per_call // tile_p    # tiles per kernel call
 
@@ -996,9 +1025,19 @@ def _fused_bounce_core(
                 # VMEM-resident kernel when the packed scene fits on-chip
                 # (no per-chunk HBM fetches - the measured v3 bottleneck);
                 # streaming v3 otherwise
-                kern = (pallas_render_culled_v4
-                        if resident_fits(capacity)
-                        else pallas_render_culled_v3)
+                if composite_mode == "scan":
+                    from ..ops.pallas.render_kernel_v5 import resident_fits_v5
+                    from ..ops.pallas.render_kernel_v6 import (
+                        pallas_render_culled_v6,
+                    )
+
+                    kern = (pallas_render_culled_v6
+                            if resident_fits_v5(capacity, cull_cluster)
+                            else pallas_render_culled_v4)
+                else:
+                    kern = (pallas_render_culled_v4
+                            if resident_fits(capacity)
+                            else pallas_render_culled_v3)
                 out = kern(
                     ro, rd, gpack, cd, cn, nm, near, zfar,
                     exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
@@ -1157,7 +1196,7 @@ def _fused_bounce_core(
     static_argnames=("width", "height", "num_bounces", "max_hits", "jitter",
                      "exp_power_static", "cull_cluster", "max_clusters",
                      "split_far", "mc_far", "split_radius_scale",
-                     "max_hits_far",
+                     "max_hits_far", "composite_mode",
                      "rays_per_call", "interpret", "max_clusters_secondary",
                      "cull_tile_secondary", "cull_tile_primary"),
 )
@@ -1183,8 +1222,19 @@ def render_frame_fused(
     mc_far: int = 32,
     split_radius_scale: float = 1.5,
     max_hits_far: int = 0,
+    composite_mode: str = "kbuffer",
 ):
     """Whole-frame render where each bounce is ONE fused Pallas kernel.
+
+    `composite_mode="scan"` swaps the top-K k-buffer kernel for the v6
+    drain-free streaming scan composite (ops/pallas/render_kernel_v6.py):
+    ~2.6x faster per pass (measured round 4), composites ALL hits (no K
+    cap) in streaming (cluster-center, within-cluster depth presorted)
+    order instead of exact per-ray t order - the inference fast path for
+    measure_fps / viewer / preview; training keeps "kbuffer" (the backward
+    replays exact slot records).  Requires the packed scene VMEM-resident
+    (falls back to the k-buffer kernel otherwise) and supports
+    cull_cluster down to 32 (8-sublane slicing).
 
     The kernel (ops/pallas/render_kernel.py) does trace + top-K + composite
     + truncated-tail correction; only the per-ray bounce epilogue (normal
@@ -1215,7 +1265,7 @@ def render_frame_fused(
         scene, camera, settings, key, width, height, jitter=jitter,
         cull_cluster=cull_cluster, cull_tile_primary=cull_tile_primary,
         num_steps=num_steps, split_far=split_far,
-        split_radius_scale=split_radius_scale,
+        split_radius_scale=split_radius_scale, composite_mode=composite_mode,
     )
     dirs, us, ray_inv, R = prep["dirs"], prep["us"], prep["ray_inv"], prep["R"]
     rays_per_call = min(rays_per_call, R)
@@ -1242,19 +1292,21 @@ def render_frame_fused(
         cull_tile_secondary=cull_tile_secondary,
         cull_tile_primary=cull_tile_primary, split_far=split_far,
         mc_far=mc_far, max_hits_far=max_hits_far,
+        composite_mode=composite_mode,
     )
     unpad = jax.tree_util.tree_map(lambda a: a[:, :R][:, ray_inv], stacked)
     return unpad, final[:R][ray_inv]
 
 
 def fused_path_ok(scene: GaussianScene, width: int, height: int,
-                  cull_cluster: int) -> bool:
+                  cull_cluster: int, composite_mode: str = "kbuffer") -> bool:
     """Static shape conditions for render_frame_fused (16x16 pixel tiles,
-    cluster-padded capacity, >=128-lane gpack blocks)."""
+    cluster-padded capacity; the k-buffer kernels need >=128-lane gpack
+    blocks, the scan kernel slices sublanes so 32 suffices)."""
     return (
         height % 16 == 0 and width % 16 == 0
         and scene.capacity % cull_cluster == 0
-        and cull_cluster >= 128
+        and cull_cluster >= (32 if composite_mode == "scan" else 128)
     )
 
 

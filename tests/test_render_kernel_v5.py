@@ -39,7 +39,7 @@ from tests.test_render_kernel import SETTINGS, _rays, _room
 
 def _run(kern, frames, attrs, rays_o, rays_d, *, cluster, tile,
          exhaustive=False, thr=None, secondary=0.0, alive=None,
-         t_split=None, window_mode=0, **kw):
+         t_split=None, window_mode=0, max_hits=8, **kw):
     gpack = pack_frames(frames, attrs)
     n_c = gpack.shape[1] // cluster
     znear, zfar = jnp.float32(0.05), jnp.float32(50.0)
@@ -60,7 +60,7 @@ def _run(kern, frames, attrs, rays_o, rays_d, *, cluster, tile,
         SETTINGS.backfacing_invalid_normal_threshold,
         transmittance_threshold=(thr if thr is not None
                                  else SETTINGS.transmittance_threshold),
-        max_hits=8, cluster=cluster, tile=tile, interpret=True,
+        max_hits=max_hits, cluster=cluster, tile=tile, interpret=True,
         alive=alive, t_split=t_split, window_mode=window_mode, **kw)
     return unpack_composite(out)
 

@@ -49,6 +49,9 @@ def main():
     from editable_gaussian_reflections_tpu.ops.pallas.render_kernel_v5 import (
         pallas_render_culled_v5,
     )
+    from editable_gaussian_reflections_tpu.ops.pallas.render_kernel_v6 import (
+        pallas_render_culled_v6,
+    )
     from editable_gaussian_reflections_tpu.ops.pallas.trace_kernel import (
         pack_frames,
     )
@@ -107,8 +110,9 @@ def main():
             near=jnp.float32(0.05), far=jnp.float32(50.0),
             tile=tile, max_clusters=mc,
         )
-        kern = pallas_render_culled_v5 if ver == "v5" else \
-            pallas_render_culled_v4
+        kern = {"v5": pallas_render_culled_v5,
+                "v6": pallas_render_culled_v6}.get(ver,
+                                                   pallas_render_culled_v4)
         fn = jax.jit(lambda a, b: kern(
             a, b, gpack, cands, cnear, num,
             jnp.float32(0.05), jnp.float32(50.0),
