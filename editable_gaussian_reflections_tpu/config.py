@@ -109,6 +109,9 @@ class Config:
                                    # for rendering, max(8, K//2) in training)
     split_radius_scale: float = 1.5  # split sphere radius as a multiple of
                                    # the median live Gaussian distance
+    composite_mode: str = "kbuffer"  # kbuffer (exact top-K, training) |
+                                   # scan (drain-free streaming composite,
+                                   # ~3x faster inference, v6 kernel)
     max_hits: int = 32             # per-ray hit cap (BUFFER_SIZE*iters analog)
     trace_chunk: int = 2048        # Gaussian chunk per intersection block
     ray_tile: int = 8192           # rays per scan tile

@@ -54,7 +54,9 @@ def default_backend_kwargs(cfg=None):
                       mc_far=getattr(cfg, "mc_far", 32),
                       max_hits_far=getattr(cfg, "max_hits_far", 0),
                       split_radius_scale=getattr(
-                          cfg, "split_radius_scale", 1.5))
+                          cfg, "split_radius_scale", 1.5),
+                      composite_mode=getattr(
+                          cfg, "composite_mode", "kbuffer"))
     return kw
 
 
@@ -77,7 +79,9 @@ def dispatch_render_frame(scene, cam, settings, key, W, H, *, num_bounces=2,
     mc_far = kw.pop("mc_far", 32)
     max_hits_far = kw.pop("max_hits_far", 0)
     split_radius_scale = kw.pop("split_radius_scale", 1.5)
-    if use_fused and fused_path_ok(scene, W, H, cull_cluster):
+    composite_mode = kw.pop("composite_mode", "kbuffer")
+    if use_fused and fused_path_ok(scene, W, H, cull_cluster,
+                                   composite_mode):
         return render_frame_fused(
             scene, cam, settings, key, W, H,
             num_bounces=num_bounces, max_hits=max_hits, jitter=jitter,
@@ -88,6 +92,7 @@ def dispatch_render_frame(scene, cam, settings, key, W, H, *, num_bounces=2,
             cull_tile_secondary=tile_secondary,
             split_far=split_far, mc_far=mc_far, max_hits_far=max_hits_far,
             split_radius_scale=split_radius_scale,
+            composite_mode=composite_mode,
         )
     return render_frame(
         scene, cam, settings, key, W, H,

@@ -174,12 +174,18 @@ class ViewerState:
 
             cam = camera_params(camera, znear=self.znear, zfar=self.zfar)
             key = jax.random.PRNGKey(self._accum_count)
+            bk = default_backend_kwargs(self.cfg)
+            if s > 1 and bk.get("use_culling"):
+                # drag-time preview: the drain-free scan composite (~3x
+                # faster, streaming-order approximation) compounds with the
+                # downscale; the full-res settled frame re-renders exact
+                bk["composite_mode"] = "scan"
             steps, final = dispatch_render_frame(
                 scene, cam, settings, key, W, H,
                 num_bounces=self.num_bounces,
                 max_hits=self.cfg.max_hits,
                 chunk=self.cfg.trace_chunk, tile=self.cfg.ray_tile,
-                **default_backend_kwargs(self.cfg),
+                **bk,
             )
             frame = dict(
                 rgb=np.asarray(final).reshape(H, W, 3),

@@ -1,0 +1,102 @@
+"""End-to-end fused-renderer bench: kbuffer vs scan composite mode.
+
+Renders the bench room (utils/synth.py) at full resolution through
+render_frame_fused in both modes, reporting per-frame ms / Mrays/s, the
+starved-ray fraction, and the cross-mode PSNR (tonemapped, clamped - the
+metrics.py convention) so the scan mode's streaming-order approximation is
+quantified at REAL tile granularity (16x16-pixel primary tiles), not the
+adversarial 32x32 probe of the unit tests."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--res", type=int, default=800)
+    ap.add_argument("--bounces", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--configs", type=str,
+                    default="kbuffer:128:16:96:192,scan:32:16:128:256,"
+                            "scan:32:16:192:384,scan:64:16:128:256",
+                    help="mode:cluster:max_hits:mc_prim:mc_sec")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from editable_gaussian_reflections_tpu.ops.tonemap import tonemap
+    from editable_gaussian_reflections_tpu.renderer.raytracer import (
+        CameraParams,
+        RenderSettings,
+        render_frame_fused,
+    )
+    from editable_gaussian_reflections_tpu.scene.gaussian_scene import (
+        from_arrays,
+    )
+    from editable_gaussian_reflections_tpu.utils.synth import (
+        room_camera,
+        room_scene,
+    )
+
+    W = H = args.res
+    scene = from_arrays(**room_scene(args.n), pad_multiple=2048)
+    eye, c2w = room_camera()
+    camera = CameraParams(
+        origin=jnp.asarray(eye), c2w=jnp.asarray(c2w),
+        fov_y=jnp.asarray(0.9), znear=jnp.asarray(0.05),
+        zfar=jnp.asarray(50.0),
+    )
+    settings = RenderSettings()
+    key = jax.random.PRNGKey(0)
+    n_rays = W * H * (args.bounces + 1)
+
+    ref_img = None
+    for cfg in args.configs.split(","):
+        mode, cl, k, mcp, mcs = cfg.split(":")
+        cl, k, mcp, mcs = int(cl), int(k), int(mcp), int(mcs)
+        fn = lambda kk: render_frame_fused(  # noqa: E731
+            scene, camera, settings, kk, W, H, num_bounces=args.bounces,
+            max_hits=k, cull_cluster=cl, max_clusters=mcp,
+            max_clusters_secondary=mcs, composite_mode=mode,
+        )
+        try:
+            steps, final = fn(key)
+            img = np.asarray(final)
+        except Exception as e:  # noqa: BLE001 - sweep survives one bad cfg
+            print(json.dumps({"cfg": cfg, "error": str(e)[-200:]}),
+                  flush=True)
+            continue
+        starved = float(np.asarray(steps.overflow).mean())
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            steps, final = fn(jax.random.fold_in(key, i + 1))
+        np.asarray(final)
+        dt = (time.perf_counter() - t0) / args.iters
+
+        rec = {"cfg": cfg, "ms": round(dt * 1e3, 1),
+               "mrays": round(n_rays / dt / 1e6, 3),
+               "starved": round(starved, 4)}
+        tm = np.clip(np.asarray(tonemap(jnp.asarray(img))), 0.0, 1.0)
+        if ref_img is None:
+            ref_img = tm
+            rec["role"] = "reference"
+        else:
+            mse = float(((tm - ref_img) ** 2).mean())
+            rec["psnr_vs_kbuffer"] = round(-10 * np.log10(max(mse, 1e-12)),
+                                           2)
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
