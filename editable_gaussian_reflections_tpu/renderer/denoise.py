@@ -107,23 +107,50 @@ def _atrous_specular(spec, normal, depth, rough, iterations=4,
     return spec + blend * (out - spec)
 
 
+_LEARNED_PARAMS = "unset"
+
+
+def _learned_params():
+    """Shipped KPN weights, loaded once; None -> a-trous fallback."""
+    global _LEARNED_PARAMS
+    if _LEARNED_PARAMS == "unset":
+        from .denoise_net import load_params
+        _LEARNED_PARAMS = load_params()
+    return _LEARNED_PARAMS
+
+
 def denoise_specular(final_hwc, diffuse_hwc, normal_hwc, depth_hw,
                      rough_hw, iterations: int = 4,
-                     spp: int = 1) -> np.ndarray:
+                     spp: int = 1, learned: bool | None = None) -> np.ndarray:
     """Demodulated denoise: final = diffuse + filtered(final - diffuse).
 
     `diffuse_hwc` is the primary-bounce radiance (steps.rgb[0]), the
-    noise-free component; guides are the primary-hit G-buffer."""
+    noise-free component; guides are the primary-hit G-buffer.  When the
+    in-repo KPN weights exist (denoise_net.py - the trained analog of the
+    reference's shipped OptiX HDR model), the learned kernel-prediction
+    filter runs instead of the hand-tuned a-trous; `learned=False` forces
+    the a-trous path (kept for A/B in tools/denoiser_eval.py)."""
     spec = jnp.asarray(final_hwc, jnp.float32) - jnp.asarray(
         diffuse_hwc, jnp.float32)
-    out = _atrous_specular(
-        spec,
-        jnp.asarray(normal_hwc, jnp.float32),
-        jnp.asarray(depth_hw, jnp.float32),
-        jnp.asarray(rough_hw, jnp.float32),
-        iterations=iterations,
-        spp=jnp.float32(spp),
-    )
+    params = _learned_params() if learned in (None, True) else None
+    if params is not None:
+        from .denoise_net import denoise_specular_learned
+        out = denoise_specular_learned(
+            params, spec,
+            jnp.asarray(normal_hwc, jnp.float32),
+            jnp.asarray(depth_hw, jnp.float32),
+            jnp.asarray(rough_hw, jnp.float32),
+            spp=jnp.float32(spp),
+        )
+    else:
+        out = _atrous_specular(
+            spec,
+            jnp.asarray(normal_hwc, jnp.float32),
+            jnp.asarray(depth_hw, jnp.float32),
+            jnp.asarray(rough_hw, jnp.float32),
+            iterations=iterations,
+            spp=jnp.float32(spp),
+        )
     return np.asarray(jnp.asarray(diffuse_hwc, jnp.float32) + out)
 
 

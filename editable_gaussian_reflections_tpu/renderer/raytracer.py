@@ -820,7 +820,7 @@ def _prepare_fused_frame(
     perm = morton_order(frames)
     frames = jax.tree_util.tree_map(lambda a: a[perm], frames)
     attrs = jax.tree_util.tree_map(lambda a: a[perm], attrs)
-    if composite_mode == "scan":
+    if composite_mode in ("scan", "scanq"):
         # the v6 streaming composite follows table order within a chunk: a
         # per-frame within-cluster depth sort along the camera forward axis
         # tightens it toward true per-ray order (membership - and therefore
@@ -1000,7 +1000,7 @@ def _fused_bounce_core(
                 tile=tile_p, max_clusters=mc_p,
             )
             tdrop_ray = jnp.repeat(tdrop, tile_p)
-            if composite_mode == "scan":
+            if composite_mode in ("scan", "scanq"):
                 # the streaming composite is most accurate when candidates
                 # arrive in expected per-ray depth order: re-sort each
                 # tile's list by cluster-CENTER depth along the tile's mean
@@ -1025,13 +1025,19 @@ def _fused_bounce_core(
                 # VMEM-resident kernel when the packed scene fits on-chip
                 # (no per-chunk HBM fetches - the measured v3 bottleneck);
                 # streaming v3 otherwise
-                if composite_mode == "scan":
+                if composite_mode in ("scan", "scanq"):
                     from ..ops.pallas.render_kernel_v5 import resident_fits_v5
                     from ..ops.pallas.render_kernel_v6 import (
                         pallas_render_culled_v6,
                     )
+                    from ..ops.pallas.render_kernel_v7 import (
+                        pallas_render_culled_v7,
+                    )
 
-                    kern = (pallas_render_culled_v6
+                    scan_kern = (pallas_render_culled_v7
+                                 if composite_mode == "scanq"
+                                 else pallas_render_culled_v6)
+                    kern = (scan_kern
                             if resident_fits_v5(capacity, cull_cluster)
                             else pallas_render_culled_v4)
                 else:
@@ -1306,7 +1312,8 @@ def fused_path_ok(scene: GaussianScene, width: int, height: int,
     return (
         height % 16 == 0 and width % 16 == 0
         and scene.capacity % cull_cluster == 0
-        and cull_cluster >= (32 if composite_mode == "scan" else 128)
+        and cull_cluster >= (32 if composite_mode in ("scan", "scanq")
+                             else 128)
     )
 
 

@@ -27,7 +27,9 @@ def main():
     ap.add_argument("--configs", type=str,
                     default="kbuffer:128:16:96:192,scan:32:16:128:256,"
                             "scan:32:16:192:384,scan:64:16:128:256",
-                    help="mode:cluster:max_hits:mc_prim:mc_sec")
+                    help="mode:cluster:max_hits:mc_prim:mc_sec[:mc_far]"
+                         " (a 6th field enables split_far with that far"
+                         " candidate budget)")
     args = ap.parse_args()
 
     import numpy as np
@@ -63,12 +65,15 @@ def main():
 
     ref_img = None
     for cfg in args.configs.split(","):
-        mode, cl, k, mcp, mcs = cfg.split(":")
-        cl, k, mcp, mcs = int(cl), int(k), int(mcp), int(mcs)
+        parts = cfg.split(":")
+        mode, cl, k, mcp, mcs = (parts[0], int(parts[1]), int(parts[2]),
+                                 int(parts[3]), int(parts[4]))
+        mc_far = int(parts[5]) if len(parts) > 5 else 0
         fn = lambda kk: render_frame_fused(  # noqa: E731
             scene, camera, settings, kk, W, H, num_bounces=args.bounces,
             max_hits=k, cull_cluster=cl, max_clusters=mcp,
             max_clusters_secondary=mcs, composite_mode=mode,
+            split_far=mc_far > 0, mc_far=max(mc_far, 32),
         )
         try:
             steps, final = fn(key)
@@ -77,7 +82,9 @@ def main():
             print(json.dumps({"cfg": cfg, "error": str(e)[-200:]}),
                   flush=True)
             continue
-        starved = float(np.asarray(steps.overflow).mean())
+        ovf = np.asarray(steps.overflow)
+        starved = float(ovf.mean())
+        per_pass = [round(float(x), 4) for x in ovf.reshape(ovf.shape[0], -1).mean(axis=1)]
         t0 = time.perf_counter()
         for i in range(args.iters):
             steps, final = fn(jax.random.fold_in(key, i + 1))
@@ -86,7 +93,7 @@ def main():
 
         rec = {"cfg": cfg, "ms": round(dt * 1e3, 1),
                "mrays": round(n_rays / dt / 1e6, 3),
-               "starved": round(starved, 4)}
+               "starved": round(starved, 4), "starved_per_pass": per_pass}
         tm = np.clip(np.asarray(tonemap(jnp.asarray(img))), 0.0, 1.0)
         if ref_img is None:
             ref_img = tm

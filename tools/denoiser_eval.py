@@ -89,14 +89,21 @@ def main(argv=None):
         plain = psnr(display(img), ref)
         legacy = psnr(display(atrous_denoise(img, normal, depth, spp=spp)),
                       ref)
+        atrous = psnr(display(denoise_specular(img, diffuse, normal, depth,
+                                               rough, spp=spp,
+                                               learned=False)), ref)
+        # the default path: learned KPN when the shipped weights exist,
+        # else identical to the a-trous number
         den = psnr(display(denoise_specular(img, diffuse, normal, depth,
                                             rough, spp=spp)), ref)
         results[str(spp)] = dict(psnr=round(plain, 2),
                                  psnr_denoised=round(den, 2),
                                  gain_db=round(den - plain, 2),
+                                 atrous_gain_db=round(atrous - plain, 2),
                                  legacy_gain_db=round(legacy - plain, 2))
         print(f"spp={spp:4d}: psnr={plain:6.2f}  denoised={den:6.2f}  "
-              f"gain={den - plain:+.2f} dB (legacy {legacy - plain:+.2f})")
+              f"gain={den - plain:+.2f} dB (atrous {atrous - plain:+.2f}, "
+              f"legacy {legacy - plain:+.2f})")
 
     with open(args.out, "w") as f:
         json.dump(dict(size=args.size, ref_spp=args.ref_spp,
