@@ -109,7 +109,8 @@ def _bench():
         best = json.load(open(best_path))
         fused_kw = dict(parse_render_config(best["mc"]),
                         max_hits=best.get("max_hits", 16),
-                        cull_cluster=best.get("cluster", 128))
+                        cull_cluster=best.get("cluster", 128),
+                        composite_mode=best.get("mode", "kbuffer"))
         tcut = fused_kw.pop("throughput_cutoff", -1.0)
         if tcut > 0:
             settings = settings._replace(

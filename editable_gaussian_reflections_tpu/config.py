@@ -111,7 +111,9 @@ class Config:
                                    # the median live Gaussian distance
     composite_mode: str = "kbuffer"  # kbuffer (exact top-K, training) |
                                    # scan (drain-free streaming composite,
-                                   # ~3x faster inference, v6 kernel)
+                                   # ~3x faster inference, v6 kernel) |
+                                   # scanq (scan with quadric-form MXU pair
+                                   # math, v7 kernel)
     max_hits: int = 32             # per-ray hit cap (BUFFER_SIZE*iters analog)
     trace_chunk: int = 2048        # Gaussian chunk per intersection block
     ray_tile: int = 8192           # rays per scan tile

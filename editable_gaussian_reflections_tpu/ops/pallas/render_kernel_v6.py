@@ -194,17 +194,24 @@ def pallas_render_culled_v6(
     max_hits: int = 16, cluster: int = 64, tile: int = 128,
     interpret: bool = False, alive=None, check_every: int = 8,
     t_split=None, window_mode: int = 0, secondary_static: int = -1,
+    tpack=None,
 ):
     """Streaming scan-composite trace.  Same contract as
     pallas_render_culled_v4/v5 (max_hits accepted for signature parity but
-    unused - there is no K cap) - returns [R, OUT_LANES] f32."""
+    unused - there is no K cap) - returns [R, OUT_LANES] f32.
+
+    `tpack` optionally supplies the [N+cluster, 128] transposed pack
+    prepared once per frame (prepare_scan_pack) so callers inside
+    lax.map/scan don't re-run the O(N) repack per iteration."""
     del max_hits
     R = rays_o.shape[0]
     N = gpack.shape[1]
     assert N % cluster == 0 and R % tile == 0
     n_tiles = R // tile
 
-    tpack = pack_frames_lanes(jnp.pad(gpack, ((0, 0), (0, cluster))))
+    if tpack is None:
+        tpack = pack_frames_lanes(jnp.pad(gpack, ((0, 0), (0, cluster))))
+    assert tpack.shape == (N + cluster, LANES), (tpack.shape, N, cluster)
     assert N // cluster < 0xFFFF, "cluster ids must fit 16 bits for packing"
     dummy = jnp.int32(N // cluster)
     mc0 = candidates.shape[1]

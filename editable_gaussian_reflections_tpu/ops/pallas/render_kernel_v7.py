@@ -343,17 +343,27 @@ def pallas_render_culled_v7(
     max_hits: int = 16, cluster: int = 64, tile: int = 128,
     interpret: bool = False, alive=None, check_every: int = 8,
     t_split=None, window_mode: int = 0, secondary_static: int = -1,
+    tpack=None,
 ):
     """Quadric-MXU streaming scan trace.  Same contract as
-    pallas_render_culled_v6 - returns [R, OUT_LANES] f32."""
+    pallas_render_culled_v6 - returns [R, OUT_LANES] f32.
+
+    `tpack` optionally supplies the (tq [N+cluster, 128], center [3]) pair
+    prepared once per frame (prepare_scan_pack) so callers inside
+    lax.map/scan don't re-run the O(N) HIGHEST-precision quadric repack
+    per iteration."""
     del max_hits
     R = rays_o.shape[0]
     N = gpack.shape[1]
     assert N % cluster == 0 and R % tile == 0
     n_tiles = R // tile
 
-    tq, center = pack_quadric_lanes(
-        jnp.pad(gpack, ((0, 0), (0, cluster))))
+    if tpack is None:
+        tq, center = pack_quadric_lanes(
+            jnp.pad(gpack, ((0, 0), (0, cluster))))
+    else:
+        tq, center = tpack
+    assert tq.shape == (N + cluster, QLANES), (tq.shape, N, cluster)
     assert N // cluster < 0xFFFF, "cluster ids must fit 16 bits for packing"
     dummy = jnp.int32(N // cluster)
     mc0 = candidates.shape[1]

@@ -115,8 +115,15 @@ def trace_rays_pallas(
     N = gpack.shape[1]
     max_chunk = max(128, (256 * 512) // tile)
     chunk = min(chunk, max_chunk)
-    while N % chunk != 0 and chunk > 8:
-        chunk //= 2
+    # Mosaic requires lane-dim blocks in multiples of 128: never shrink the
+    # chunk below that to divide a small N (the round-4 red-suite TPU
+    # lowering error: chunk 64 vs N=192) - round the chunk to 128 and
+    # zero-pad gpack instead (ROW_VALID=0 rows can never hit: gvalid=0
+    # masks them out of slots, log-T and traversal counters alike).
+    chunk = max(128, (chunk // 128) * 128)
+    if N % chunk:
+        pad_n = ((N + chunk - 1) // chunk) * chunk - N
+        gpack = jnp.pad(gpack, ((0, 0), (0, pad_n)))
     t_sorted, ids, alpha, gaussval, local_hit, slot_attrs, log_T, traversed = (
         pallas_trace_fused(
             rays_o, rays_d, gpack, near, far, exp_power, secondary,

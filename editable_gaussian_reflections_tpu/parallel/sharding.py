@@ -259,7 +259,7 @@ def sharded_render(
                      "max_clusters", "rays_per_call", "interpret",
                      "max_clusters_secondary", "cull_tile_secondary",
                      "cull_tile_primary", "split_far", "mc_far",
-                     "split_radius_scale", "max_hits_far"),
+                     "split_radius_scale", "max_hits_far", "composite_mode"),
 )
 def sharded_render_fused(
     mesh: Mesh,
@@ -284,6 +284,7 @@ def sharded_render_fused(
     mc_far: int = 32,
     split_radius_scale: float = 1.5,
     max_hits_far: int = 0,
+    composite_mode: str = "kbuffer",
 ):
     """render_frame_fused's per-bounce fused-kernel path with rays sharded
     over the mesh - the multi-chip rendering mode behind the v5p-8
@@ -310,6 +311,7 @@ def sharded_render_fused(
         cull_cluster=cull_cluster, cull_tile_primary=cull_tile_primary,
         num_steps=num_steps, split_far=split_far,
         split_radius_scale=split_radius_scale,
+        composite_mode=composite_mode,
     )
     R, ray_inv = prep["R"], prep["ray_inv"]
     tile_max = max(cull_tile_primary, cull_tile_secondary)
@@ -321,7 +323,8 @@ def sharded_render_fused(
     assert R_s % rays_per_call == 0, (R_s, rays_per_call)
 
     rep = (prep["gpack"], prep["bounds"], prep["scene_lo"],
-           prep["scene_hi"], prep["split_c"], prep["r_split"])
+           prep["scene_hi"], prep["split_c"], prep["r_split"],
+           prep["scan_pack"])
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -330,7 +333,8 @@ def sharded_render_fused(
         check_vma=False,
     )
     def fwd(rep, ro_s, rd_s, us_s):
-        gpack, bounds, scene_lo, scene_hi, split_c, r_split = rep
+        (gpack, bounds, scene_lo, scene_hi, split_c, r_split,
+         scan_pack) = rep
         return _fused_bounce_core(
             ro_s, rd_s, us_s, gpack, bounds, scene_lo, scene_hi,
             split_c, r_split, settings, camera.znear, camera.zfar,
@@ -342,6 +346,7 @@ def sharded_render_fused(
             cull_tile_secondary=cull_tile_secondary,
             cull_tile_primary=cull_tile_primary, split_far=split_far,
             mc_far=mc_far, max_hits_far=max_hits_far,
+            composite_mode=composite_mode, scan_pack=scan_pack,
         )
 
     stacked, final = fwd(rep, prep["rays_o"], prep["dirs"], prep["us"])

@@ -108,6 +108,7 @@ def _atrous_specular(spec, normal, depth, rough, iterations=4,
 
 
 _LEARNED_PARAMS = "unset"
+_PATH_LOGGED = False
 
 
 def _learned_params():
@@ -133,6 +134,21 @@ def denoise_specular(final_hwc, diffuse_hwc, normal_hwc, depth_hw,
     spec = jnp.asarray(final_hwc, jnp.float32) - jnp.asarray(
         diffuse_hwc, jnp.float32)
     params = _learned_params() if learned in (None, True) else None
+    if learned is True and params is None:
+        # explicit request for the learned path must not silently degrade
+        # (eval comparability - ADVICE r4)
+        import warnings
+        warnings.warn(
+            "denoise_specular(learned=True) but no KPN weights found "
+            "(assets/denoise_kpn_v1.npz) - falling back to a-trous",
+            stacklevel=2)
+    global _PATH_LOGGED
+    if not _PATH_LOGGED:
+        _PATH_LOGGED = True
+        import logging
+        logging.getLogger(__name__).info(
+            "denoiser path: %s",
+            "learned KPN" if params is not None else "a-trous")
     if params is not None:
         from .denoise_net import denoise_specular_learned
         out = denoise_specular_learned(

@@ -835,6 +835,24 @@ def _prepare_fused_frame(
     # the kernels extract shading attrs straight from gpack rows 16..31
     gpack = pack_frames(frames, attrs)
 
+    # transpose/quadric repack ONCE per frame (not per lax.map iteration
+    # inside the bounce core - ADVICE r4: the v7 quadric pack is O(N) of
+    # HIGHEST-precision einsums, the v6 transpose an [N, 128]
+    # materialization)
+    scan_pack = None
+    if composite_mode in ("scan", "scanq"):
+        from ..ops.pallas.render_kernel_v5 import (
+            pack_frames_lanes,
+            resident_fits_v5,
+        )
+        from ..ops.pallas.render_kernel_v7 import pack_quadric_lanes
+
+        if resident_fits_v5(gpack.shape[1], cull_cluster):
+            padded = jnp.pad(gpack, ((0, 0), (0, cull_cluster)))
+            scan_pack = (pack_quadric_lanes(padded)
+                         if composite_mode == "scanq"
+                         else pack_frames_lanes(padded))
+
     # square pixel tiles sized to the primary cull tile (256 -> 16x16,
     # 64 -> 8x8: tighter bounding cones, fewer candidates per tile)
     tpx = int(cull_tile_primary ** 0.5)
@@ -890,7 +908,7 @@ def _prepare_fused_frame(
     return dict(
         gpack=gpack, bounds=bounds, scene_lo=scene_lo, scene_hi=scene_hi,
         split_c=split_c, r_split=r_split, rays_o=rays_o, dirs=dirs, us=us,
-        ray_perm=ray_perm, ray_inv=ray_inv, R=R,
+        ray_perm=ray_perm, ray_inv=ray_inv, R=R, scan_pack=scan_pack,
     )
 
 
@@ -903,6 +921,7 @@ def _fused_bounce_core(
     max_clusters_secondary: int | None, cull_tile_secondary: int,
     cull_tile_primary: int, split_far: bool, mc_far: int,
     max_hits_far: int, composite_mode: str = "kbuffer",
+    scan_pack=None,
 ):
     """The fused per-bounce wavefront loop over a PREPARED ray batch.
 
@@ -1000,7 +1019,16 @@ def _fused_bounce_core(
                 tile=tile_p, max_clusters=mc_p,
             )
             tdrop_ray = jnp.repeat(tdrop, tile_p)
-            if composite_mode in ("scan", "scanq"):
+            # Decide the kernel BEFORE the candidate re-sort: the k-buffer
+            # fallback (v4) early-exits on `kth < cand_near` and therefore
+            # REQUIRES near-ascending candidate lists - feeding it the scan
+            # kernels' center-depth-sorted lists silently drops hits
+            # (ADVICE r4 high).  Scan only runs when the packed scene is
+            # VMEM-resident; otherwise keep near-sorted lists for v4/v3.
+            from ..ops.pallas.render_kernel_v5 import resident_fits_v5
+            use_scan = (composite_mode in ("scan", "scanq")
+                        and resident_fits_v5(capacity, cull_cluster))
+            if use_scan:
                 # the streaming composite is most accurate when candidates
                 # arrive in expected per-ray depth order: re-sort each
                 # tile's list by cluster-CENTER depth along the tile's mean
@@ -1025,8 +1053,7 @@ def _fused_bounce_core(
                 # VMEM-resident kernel when the packed scene fits on-chip
                 # (no per-chunk HBM fetches - the measured v3 bottleneck);
                 # streaming v3 otherwise
-                if composite_mode in ("scan", "scanq"):
-                    from ..ops.pallas.render_kernel_v5 import resident_fits_v5
+                if use_scan:
                     from ..ops.pallas.render_kernel_v6 import (
                         pallas_render_culled_v6,
                     )
@@ -1034,16 +1061,15 @@ def _fused_bounce_core(
                         pallas_render_culled_v7,
                     )
 
-                    scan_kern = (pallas_render_culled_v7
-                                 if composite_mode == "scanq"
-                                 else pallas_render_culled_v6)
-                    kern = (scan_kern
-                            if resident_fits_v5(capacity, cull_cluster)
-                            else pallas_render_culled_v4)
+                    kern = (pallas_render_culled_v7
+                            if composite_mode == "scanq"
+                            else pallas_render_culled_v6)
                 else:
                     kern = (pallas_render_culled_v4
                             if resident_fits(capacity)
                             else pallas_render_culled_v3)
+                extra = ({"tpack": scan_pack}
+                         if use_scan and scan_pack is not None else {})
                 out = kern(
                     ro, rd, gpack, cd, cn, nm, near, zfar,
                     exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
@@ -1060,6 +1086,7 @@ def _fused_bounce_core(
                     # of the pair math) instead of gating it on the traced
                     # `secondary` scalar
                     secondary_static=1 if step > 0 else 0,
+                    **extra,
                 )
                 return out
 
@@ -1298,7 +1325,7 @@ def render_frame_fused(
         cull_tile_secondary=cull_tile_secondary,
         cull_tile_primary=cull_tile_primary, split_far=split_far,
         mc_far=mc_far, max_hits_far=max_hits_far,
-        composite_mode=composite_mode,
+        composite_mode=composite_mode, scan_pack=prep["scan_pack"],
     )
     unpad = jax.tree_util.tree_map(lambda a: a[:, :R][:, ray_inv], stacked)
     return unpad, final[:R][ray_inv]
@@ -1307,14 +1334,19 @@ def render_frame_fused(
 def fused_path_ok(scene: GaussianScene, width: int, height: int,
                   cull_cluster: int, composite_mode: str = "kbuffer") -> bool:
     """Static shape conditions for render_frame_fused (16x16 pixel tiles,
-    cluster-padded capacity; the k-buffer kernels need >=128-lane gpack
-    blocks, the scan kernel slices sublanes so 32 suffices)."""
-    return (
-        height % 16 == 0 and width % 16 == 0
-        and scene.capacity % cull_cluster == 0
-        and cull_cluster >= (32 if composite_mode in ("scan", "scanq")
-                             else 128)
-    )
+    cluster-padded capacity).  The k-buffer kernels slice gpack on the LANE
+    dim at cluster granularity, which Mosaic cannot compile below 128; the
+    scan kernels slice sublanes of a transposed resident pack, so 32
+    suffices - but only when the pack actually fits VMEM
+    (resident_fits_v5).  A scan request that would fall back to the
+    k-buffer kernel therefore needs >=128 too (ADVICE r4 high)."""
+    if height % 16 or width % 16 or scene.capacity % cull_cluster:
+        return False
+    if composite_mode in ("scan", "scanq"):
+        from ..ops.pallas.render_kernel_v5 import resident_fits_v5
+        if resident_fits_v5(scene.capacity, cull_cluster):
+            return cull_cluster >= 32
+    return cull_cluster >= 128
 
 
 @partial(

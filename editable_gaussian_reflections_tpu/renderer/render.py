@@ -80,6 +80,11 @@ def dispatch_render_frame(scene, cam, settings, key, W, H, *, num_bounces=2,
     max_hits_far = kw.pop("max_hits_far", 0)
     split_radius_scale = kw.pop("split_radius_scale", 1.5)
     composite_mode = kw.pop("composite_mode", "kbuffer")
+    if composite_mode not in ("kbuffer", "scan", "scanq"):
+        raise ValueError(
+            f"composite_mode={composite_mode!r}: expected 'kbuffer', "
+            "'scan' or 'scanq' (a typo would otherwise silently render "
+            "with the k-buffer kernels)")
     if use_fused and fused_path_ok(scene, W, H, cull_cluster,
                                    composite_mode):
         return render_frame_fused(

@@ -93,6 +93,11 @@ def _make_mesh(mesh_shape):
     return Mesh(devs, tuple(mesh_shape.keys()))
 
 
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs a 4-device mesh")
+
+
+@needs_mesh
 @pytest.mark.parametrize("mesh_shape", [
     {"gauss": 4}, {"rays": 2, "gauss": 2},
 ])
@@ -121,6 +126,7 @@ def test_gaussian_sharded_grads_exact_primary(mesh_shape):
                                    err_msg=f"grads.{f}")
 
 
+@needs_mesh
 def test_gaussian_sharded_train_step_full_bounces():
     """num_bounces=2: collective reordering perturbs full_T at ulp level,
     which the GGX resampling amplifies chaotically for a handful of rays -

@@ -98,6 +98,17 @@ def compute(interpret: bool):
             name = f"{'split' if split else 'fused'}_b{nb}"
             arrays[name] = np.asarray(final).reshape(RES, RES, 3)
             print(f"{name}: {time.time() - t0:.1f}s", flush=True)
+        for mode in ("scan", "scanq"):
+            t0 = time.time()
+            _, final = render_frame_fused(
+                scene, camera, settings, key, RES, RES, num_bounces=nb,
+                max_hits=K, jitter=jit, cull_cluster=CLUSTER,
+                max_clusters=MC, max_clusters_secondary=MC,
+                rays_per_call=RES * RES, composite_mode=mode,
+                interpret=interpret)
+            name = f"{mode}_b{nb}"
+            arrays[name] = np.asarray(final).reshape(RES, RES, 3)
+            print(f"{name}: {time.time() - t0:.1f}s", flush=True)
         t0 = time.time()
         _, final = render_frame(
             scene, camera, settings, key, RES, RES, num_bounces=nb,
