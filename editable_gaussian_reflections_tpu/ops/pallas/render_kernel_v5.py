@@ -34,6 +34,13 @@ v5 transposes the world:
 Output is [OUT_LANES, R] (transposed composite; the wrapper returns the
 canonical [R, OUT_LANES] so callers and tests are agnostic).  Equality vs
 the v4 kernel is asserted in tests/test_render_kernel_v5.py.
+
+STATUS (round 5): the v5 KERNEL is a measured dead-end kept as a BENCHMARK
+FIXTURE only - on hardware the per-span drain still dominated (see
+RESULTS.md round 4), and the drain-free v6/v7 scan kernels supersede it.
+Production code imports only the layout helpers defined here
+(`pack_frames_lanes`, `resident_fits_v5`), which v6/v7 build on; the
+kernel itself is reachable solely from tools/bench_v5.py and its tests.
 """
 
 from __future__ import annotations

@@ -1302,6 +1302,23 @@ def render_frame_fused(
     )
     dirs, us, ray_inv, R = prep["dirs"], prep["us"], prep["ray_inv"], prep["R"]
     rays_per_call = min(rays_per_call, R)
+    # SMEM scalar-prefetch budget: every pass prefetches its whole call's
+    # candidate lists - candidates (i32) + cand_near (f32) per tile for the
+    # k-buffer kernels, one bit-packed i32 word for the scan kernels.  The
+    # core has ~1 MB SMEM shared with spills/windows; cap the pair at 0.5 MB
+    # by shrinking rays_per_call (more, smaller kernel calls - the resident
+    # gpack block re-DMAs per call at ~13 us, noise next to a multi-ms pass).
+    # r4's sweep2_split configs died here with a 512 KB operand + overflow.
+    _pad8 = lambda m: (m + 7) // 8 * 8  # noqa: E731
+    cand_bytes = 4.0 if composite_mode in ("scan", "scanq") else 8.0
+    per_ray = max(
+        _pad8(max_clusters) / cull_tile_primary,
+        _pad8(max_clusters_secondary or max_clusters) / cull_tile_secondary,
+        (_pad8(mc_far) / cull_tile_secondary if split_far else 0.0),
+    ) * cand_bytes
+    tile_lcm = max(cull_tile_primary, cull_tile_secondary)
+    cap = max(tile_lcm, int(0.5 * 2**20 / per_ray) // tile_lcm * tile_lcm)
+    rays_per_call = min(rays_per_call, cap)
     assert R % 256 == 0
     n_call = (R + rays_per_call - 1) // rays_per_call
     pad = n_call * rays_per_call - R

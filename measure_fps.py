@@ -70,6 +70,14 @@ def main(argv=None):
     from editable_gaussian_reflections_tpu.utils.general import set_seeds
 
     cfg = load_model_config(cli.model_path, unknown, prog="measure_fps")
+    if not any(a.startswith("--composite_mode") for a in unknown):
+        # inference protocol default: the drain-free streaming scan kernel
+        # (v7 quadric MXU pair math) - the reference's FPS number is 1 spp /
+        # no denoise (measure_fps.py:27-52), i.e. the fast path, and scanq
+        # is ours.  Training/eval keep kbuffer (exact top-K); pass
+        # --composite_mode kbuffer to time the exact path instead.
+        cfg.composite_mode = "scanq"
+    print(f"composite_mode: {cfg.composite_mode}")
     set_seeds()
     iteration = cli.iteration or search_for_max_iteration(
         os.path.join(cli.model_path, "point_cloud"))

@@ -197,6 +197,13 @@ def main(cfg: Config, resume: bool = False):
         # resuming past the warmup boundary: bounces already enabled and the
         # far-field shell is already in the checkpointed state
         num_bounces = min(MAX_BOUNCES, 2)
+        if use_culling and cfg.no_bounces_until_iter > 0:
+            # reapply the injection-time candidate-budget growth (the shell
+            # is in the checkpoint; estimate its share from the config)
+            cap = state.scene.capacity
+            grow = cap / max(cap - cfg.init_num_pts_farfield, 1)
+            mc = -(-int(cfg.max_clusters * grow) // 64) * 64
+            cull_kw["max_clusters"] = max(cull_kw["max_clusters"], mc)
 
     rng = np.random.default_rng(seed)
     hyper = dict(beta_1=cfg.beta_1, beta_2=cfg.beta_2,
@@ -312,10 +319,27 @@ def main(cfg: Config, resume: bool = False):
             num_bounces = min(MAX_BOUNCES, 2)
             centers, znears = scene.camera_centers_znears()
             new = farfield_arrays(cfg, scene.cameras_extent, centers, znears, rng)
+            prev_capacity = state.scene.capacity
             state = append_with_opt_state(state, new,
                                           pad_multiple=cfg.trace_chunk)
             print(f"[ITER {iteration}] far-field injection -> capacity "
                   f"{state.scene.capacity}")
+            if use_culling:
+                # Grow the per-tile candidate budget with the cluster count:
+                # the shell surrounds every camera, so each tile cone newly
+                # sees ~its share of capacity/cull_cluster extra clusters.
+                # Without this, cull_overflow spiked to 0.13-0.16 for the
+                # ~500 iters until pruning thinned the shell (r4 parity run)
+                # - i.e. starved, silently-biased gradients right when the
+                # far field must learn.  One recompile; mc is static in the
+                # jitted step.  (The reference's OptiX BVH traversal has no
+                # candidate cap to resize - this is the TPU analog's dual.)
+                grow = state.scene.capacity / max(prev_capacity, 1)
+                mc = -(-int(cfg.max_clusters * grow) // 64) * 64
+                if mc > cull_kw["max_clusters"]:
+                    cull_kw["max_clusters"] = mc
+                    print(f"[ITER {iteration}] candidate budget "
+                          f"max_clusters {cfg.max_clusters} -> {mc}")
 
     print("\nTraining complete.")
     return state
