@@ -110,7 +110,9 @@ def _bench():
         fused_kw = dict(parse_render_config(best["mc"]),
                         max_hits=best.get("max_hits", 16),
                         cull_cluster=best.get("cluster", 128),
-                        composite_mode=best.get("mode", "kbuffer"))
+                        composite_mode=best.get("mode", "kbuffer"),
+                        kernel_stats=best.get("kernel_stats", True),
+                        attr_precision=best.get("attr_precision", "highest"))
         tcut = fused_kw.pop("throughput_cutoff", -1.0)
         if tcut > 0:
             settings = settings._replace(

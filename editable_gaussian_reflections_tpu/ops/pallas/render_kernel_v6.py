@@ -11,10 +11,14 @@ the drain and fixed costs own the clock.
 v6 removes the drain, the slots, and the staging buffers entirely.  It
 composites hits in STREAMING ORDER - candidates arrive depth-sorted by
 cluster-near (ops/culling.select_candidates), and hits within a chunk
-composite in table order - using an exclusive prefix-scan of log(1-alpha)
-over the chunk's sublanes (log2(C) roll/add steps, zero scalar syncs):
+composite in table order - using an exclusive prefix-PRODUCT of (1-alpha)
+over the chunk's sublanes (log2(C) roll/multiply steps, zero scalar syncs;
+round 5 moved the scan from log space to product space, deleting the
+per-pair log1p and exp transcendentals - the composited transmittance
+stays >= thr ~1e-2 until the exit check, so f32 products cannot
+underflow where they matter):
 
-    T_before[i] = exp(acc_comp + sum_{j<i in chunk} log1p(-alpha_j))
+    T_before[i] = T_comp * prod_{j<i in chunk} (1 - alpha_j)
     w[i]        = T_before[i] * alpha[i]          (while T_before >= thr)
 
 Per-chunk attribute accumulation is ONE MXU dot (g_attr [C,16] x w [C,R]
@@ -60,8 +64,8 @@ from .render_kernel_v3 import (
 from .render_kernel_v5 import GROW0, LANES, _pair_math_t, pack_frames_lanes
 
 # misc accumulator rows
-_M_COMP = 0    # log composited transmittance (frozen at saturation)
-_M_FULL = 1    # log FULL transmittance over all valid hits (tail term)
+_M_COMP = 0    # composited transmittance, LINEAR (frozen at saturation)
+_M_FULL = 1    # FULL transmittance over all valid hits, LINEAR (tail term)
 _M_DEPTH = 2   # sum w * t
 _M_NUM = 3     # composited-hit count
 _M_TRAV = 4    # traversed (gvalid) count
@@ -74,11 +78,10 @@ def _render_kernel_v6(
     out_ref,
     attr_acc, misc_acc,
     *, cluster: int, exp_power: float, check_every: int,
-    window_mode: int = 0, secondary_static: int = -1,
+    window_mode: int = 0, secondary_static: int = -1, stats: bool = True,
 ):
     ti = pl.program_id(0)
     thr = scalar_ref[6]
-    log_thr = scalar_ref[9]
     eps_norm = scalar_ref[7]
     R = rays_ref.shape[1]
     CE = check_every
@@ -88,6 +91,7 @@ def _render_kernel_v6(
 
     attr_acc[:] = jnp.zeros_like(attr_acc)
     misc_acc[:] = jnp.zeros_like(misc_acc)
+    misc_acc[_M_COMP:_M_FULL + 1, :] = jnp.ones((2, R), jnp.float32)
 
     dead_all = jnp.all(rays_ref[6, :] <= 0.0)
     row = jax.lax.broadcasted_iota(jnp.int32, (C, R), 0)
@@ -99,18 +103,19 @@ def _render_kernel_v6(
         tt, alpha, valid, gvalid = _pair_math_t(
             scalar_ref, rays_ref, g, exp_power=exp_power,
             window_mode=window_mode, secondary_static=secondary_static)
-        la = jnp.where(valid, jnp.log1p(-alpha), 0.0)
+        oma = jnp.where(valid, 1.0 - alpha, 1.0)
 
-        # inclusive Hillis-Steele prefix over sublanes, then exclusive
-        inc = la
+        # exclusive prefix product over sublanes: Hillis-Steele on the
+        # shift-by-one sequence (ex[i] = prod_{j<i} oma[j])
+        ex = jnp.where(row >= 1, pltpu.roll(oma, shift=1, axis=0), 1.0)
         s = 1
         while s < C:
-            inc = inc + jnp.where(row >= s, pltpu.roll(inc, shift=s, axis=0),
-                                  0.0)
+            ex = ex * jnp.where(row >= s, pltpu.roll(ex, shift=s, axis=0),
+                                1.0)
             s *= 2
-        ex = inc - la
 
-        t_before = jnp.exp(misc_acc[_M_COMP:_M_COMP + 1, :] + ex)
+        tc = misc_acc[_M_COMP:_M_COMP + 1, :]
+        t_before = tc * ex
         cmask = valid & (t_before >= thr)
         w = jnp.where(cmask, t_before * alpha, 0.0)
 
@@ -120,18 +125,23 @@ def _render_kernel_v6(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )                                                        # [16, R]
-        misc_acc[_M_COMP:_M_COMP + 1, :] += jnp.sum(
-            jnp.where(cmask, la, 0.0), axis=0, keepdims=True)
-        misc_acc[_M_FULL:_M_FULL + 1, :] += jnp.sum(la, axis=0,
-                                                    keepdims=True)
+        # t_after = t_before * oma is non-increasing along the chunk, so
+        # the composited (thresholded, a PREFIX of the chunk) and full
+        # updates are both MIN reductions - no masked products needed
+        t_after = t_before * oma
+        misc_acc[_M_COMP:_M_COMP + 1, :] = jnp.min(
+            jnp.where(cmask, t_after, tc), axis=0, keepdims=True)
+        misc_acc[_M_FULL:_M_FULL + 1, :] *= jnp.min(
+            ex * oma, axis=0, keepdims=True)
         misc_acc[_M_DEPTH:_M_DEPTH + 1, :] += jnp.sum(
-            w * jnp.where(cmask, tt, 0.0), axis=0, keepdims=True)
-        misc_acc[_M_NUM:_M_NUM + 1, :] += jnp.sum(
-            cmask.astype(jnp.float32), axis=0, keepdims=True)
-        misc_acc[_M_TRAV:_M_TRAV + 1, :] += jnp.broadcast_to(
-            jnp.sum(gvalid, axis=0, keepdims=True), (1, R))
-        misc_acc[_M_CHUNK:_M_CHUNK + 1, :] += jnp.broadcast_to(
-            jnp.max(gvalid, axis=0, keepdims=True), (1, R))
+            w * tt, axis=0, keepdims=True)
+        if stats:
+            misc_acc[_M_NUM:_M_NUM + 1, :] += jnp.sum(
+                cmask.astype(jnp.float32), axis=0, keepdims=True)
+            misc_acc[_M_TRAV:_M_TRAV + 1, :] += jnp.broadcast_to(
+                jnp.sum(gvalid, axis=0, keepdims=True), (1, R))
+            misc_acc[_M_CHUNK:_M_CHUNK + 1, :] += jnp.broadcast_to(
+                jnp.max(gvalid, axis=0, keepdims=True), (1, R))
 
     def cond(st):
         g, done = st
@@ -140,7 +150,7 @@ def _render_kernel_v6(
     def body(st):
         g, _ = st
         base = g * CE
-        saturated = misc_acc[_M_COMP:_M_COMP + 1, :] <= log_thr
+        saturated = misc_acc[_M_COMP:_M_COMP + 1, :] <= thr
         # no slot-kth "behind" test in scan mode: with no K cap, the only
         # reference-faithful exit is saturation (forward_pass.cu:131-134);
         # the packed cand near bits still give a cheap all-empty check
@@ -157,8 +167,8 @@ def _render_kernel_v6(
     jax.lax.while_loop(cond, body, (jnp.int32(0), dead_all))
 
     # epilogue: truncated-tail redistribution (forward_pass.cu:142-155)
-    t_final = jnp.exp(misc_acc[_M_COMP:_M_COMP + 1, :])
-    full_t = jnp.exp(misc_acc[_M_FULL:_M_FULL + 1, :])
+    t_final = misc_acc[_M_COMP:_M_COMP + 1, :]
+    full_t = misc_acc[_M_FULL:_M_FULL + 1, :]
     remaining_t = t_final - full_t
     norm = jnp.maximum(1.0 - t_final, eps_norm)
     factor = 1.0 + remaining_t / norm
@@ -184,7 +194,8 @@ def _render_kernel_v6(
 @partial(
     jax.jit,
     static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret",
-                     "check_every", "window_mode", "secondary_static"),
+                     "check_every", "window_mode", "secondary_static",
+                     "stats"),
 )
 def pallas_render_culled_v6(
     rays_o, rays_d, gpack, candidates, cand_near, num, near, far,
@@ -194,7 +205,7 @@ def pallas_render_culled_v6(
     max_hits: int = 16, cluster: int = 64, tile: int = 128,
     interpret: bool = False, alive=None, check_every: int = 8,
     t_split=None, window_mode: int = 0, secondary_static: int = -1,
-    tpack=None,
+    tpack=None, stats: bool = True,
 ):
     """Streaming scan-composite trace.  Same contract as
     pallas_render_culled_v4/v5 (max_hits accepted for signature parity but
@@ -246,7 +257,7 @@ def pallas_render_culled_v6(
         jnp.asarray(transmittance_threshold, jnp.float32),
         jnp.asarray(eps_forward_normalization, jnp.float32),
         jnp.zeros((), jnp.float32),
-        jnp.log(jnp.asarray(transmittance_threshold, jnp.float32)),
+        jnp.zeros((), jnp.float32),  # slot 9 (was log_thr; scan is linear)
     ])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -272,7 +283,7 @@ def pallas_render_culled_v6(
         partial(_render_kernel_v6, cluster=cluster,
                 exp_power=float(exp_power), check_every=check_every,
                 window_mode=window_mode,
-                secondary_static=secondary_static),
+                secondary_static=secondary_static, stats=stats),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((OUT_LANES, R), jnp.float32),
         compiler_params=pltpu.CompilerParams(

@@ -226,12 +226,19 @@ def _render_kernel_v7(
     out_ref,
     attr_acc, misc_acc, feat_ref,
     *, cluster: int, exp_power: float, check_every: int,
-    window_mode: int = 0, secondary_static: int = -1,
+    window_mode: int = 0, secondary_static: int = -1, stats: bool = True,
+    attr_precision=jax.lax.Precision.HIGHEST, debug_mode: int = 0,
 ):
-    """v6's drain-free streaming scan composite with quadric pair math."""
+    """v6's drain-free streaming scan composite (product space, round 5)
+    with quadric pair math.
+
+    `debug_mode` (benchmark-only, tools/bench_v7_attr.py - the v4
+    attribution precedent): 1 = pair math only (scan/attr-dot compiled
+    out, alpha folded into the depth row so nothing is DCE'd), 2 = pair
+    math + prefix scan (attr dot compiled out).  Run with a tiny
+    transmittance threshold so every mode traverses every chunk."""
     ti = pl.program_id(0)
     thr = scalar_ref[6]
-    log_thr = scalar_ref[9]
     eps_norm = scalar_ref[7]
     R = rays_ref.shape[1]
     CE = check_every
@@ -241,6 +248,7 @@ def _render_kernel_v7(
 
     attr_acc[:] = jnp.zeros_like(attr_acc)
     misc_acc[:] = jnp.zeros_like(misc_acc)
+    misc_acc[_M_COMP:_M_FULL + 1, :] = jnp.ones((2, R), jnp.float32)
     feat_ref[:] = _ray_features(rays_ref, scalar_ref)
 
     dead_all = jnp.all(rays_ref[6, :] <= 0.0)
@@ -253,38 +261,53 @@ def _render_kernel_v7(
         tt, alpha, valid, gvalid = _pair_math_q(
             scalar_ref, rays_ref, feat_ref[:], g, exp_power=exp_power,
             window_mode=window_mode, secondary_static=secondary_static)
-        la = jnp.where(valid, jnp.log1p(-alpha), 0.0)
+        oma = jnp.where(valid, 1.0 - alpha, 1.0)
 
-        inc = la
+        if debug_mode == 1:  # pair math only
+            misc_acc[_M_DEPTH:_M_DEPTH + 1, :] += jnp.sum(
+                oma * tt, axis=0, keepdims=True)
+            return
+
+        # exclusive prefix product over sublanes (see render_kernel_v6)
+        ex = jnp.where(row >= 1, pltpu.roll(oma, shift=1, axis=0), 1.0)
         s = 1
         while s < C:
-            inc = inc + jnp.where(row >= s, pltpu.roll(inc, shift=s, axis=0),
-                                  0.0)
+            ex = ex * jnp.where(row >= s, pltpu.roll(ex, shift=s, axis=0),
+                                1.0)
             s *= 2
-        ex = inc - la
 
-        t_before = jnp.exp(misc_acc[_M_COMP:_M_COMP + 1, :] + ex)
+        tc = misc_acc[_M_COMP:_M_COMP + 1, :]
+        t_before = tc * ex
         cmask = valid & (t_before >= thr)
         w = jnp.where(cmask, t_before * alpha, 0.0)
+
+        if debug_mode == 2:  # pair math + scan, no attr dot / bookkeeping
+            misc_acc[_M_DEPTH:_M_DEPTH + 1, :] += jnp.sum(
+                w * tt, axis=0, keepdims=True)
+            misc_acc[_M_COMP:_M_COMP + 1, :] = jnp.min(
+                jnp.where(cmask, t_before * oma, tc), axis=0, keepdims=True)
+            return
 
         attr_acc[:] += jax.lax.dot_general(
             g[:, GROW0:GROW0 + TABLE_A], w,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=attr_precision,
         )                                                        # [16, R]
-        misc_acc[_M_COMP:_M_COMP + 1, :] += jnp.sum(
-            jnp.where(cmask, la, 0.0), axis=0, keepdims=True)
-        misc_acc[_M_FULL:_M_FULL + 1, :] += jnp.sum(la, axis=0,
-                                                    keepdims=True)
+        t_after = t_before * oma
+        misc_acc[_M_COMP:_M_COMP + 1, :] = jnp.min(
+            jnp.where(cmask, t_after, tc), axis=0, keepdims=True)
+        misc_acc[_M_FULL:_M_FULL + 1, :] *= jnp.min(
+            ex * oma, axis=0, keepdims=True)
         misc_acc[_M_DEPTH:_M_DEPTH + 1, :] += jnp.sum(
-            w * jnp.where(cmask, tt, 0.0), axis=0, keepdims=True)
-        misc_acc[_M_NUM:_M_NUM + 1, :] += jnp.sum(
-            cmask.astype(jnp.float32), axis=0, keepdims=True)
-        misc_acc[_M_TRAV:_M_TRAV + 1, :] += jnp.broadcast_to(
-            jnp.sum(gvalid, axis=0, keepdims=True), (1, R))
-        misc_acc[_M_CHUNK:_M_CHUNK + 1, :] += jnp.broadcast_to(
-            jnp.max(gvalid, axis=0, keepdims=True), (1, R))
+            w * tt, axis=0, keepdims=True)
+        if stats:
+            misc_acc[_M_NUM:_M_NUM + 1, :] += jnp.sum(
+                cmask.astype(jnp.float32), axis=0, keepdims=True)
+            misc_acc[_M_TRAV:_M_TRAV + 1, :] += jnp.broadcast_to(
+                jnp.sum(gvalid, axis=0, keepdims=True), (1, R))
+            misc_acc[_M_CHUNK:_M_CHUNK + 1, :] += jnp.broadcast_to(
+                jnp.max(gvalid, axis=0, keepdims=True), (1, R))
 
     def cond(st):
         g, done = st
@@ -293,7 +316,7 @@ def _render_kernel_v7(
     def body(st):
         g, _ = st
         base = g * CE
-        saturated = misc_acc[_M_COMP:_M_COMP + 1, :] <= log_thr
+        saturated = misc_acc[_M_COMP:_M_COMP + 1, :] <= thr
         empty = (cand_ref[ti, base] & jnp.int32(-65536)) >= 0x7F000000
         done = jnp.all(saturated) | dead_all | empty
 
@@ -306,8 +329,8 @@ def _render_kernel_v7(
 
     jax.lax.while_loop(cond, body, (jnp.int32(0), dead_all))
 
-    t_final = jnp.exp(misc_acc[_M_COMP:_M_COMP + 1, :])
-    full_t = jnp.exp(misc_acc[_M_FULL:_M_FULL + 1, :])
+    t_final = misc_acc[_M_COMP:_M_COMP + 1, :]
+    full_t = misc_acc[_M_FULL:_M_FULL + 1, :]
     remaining_t = t_final - full_t
     norm = jnp.maximum(1.0 - t_final, eps_norm)
     factor = 1.0 + remaining_t / norm
@@ -333,7 +356,8 @@ def _render_kernel_v7(
 @partial(
     jax.jit,
     static_argnames=("exp_power", "max_hits", "cluster", "tile", "interpret",
-                     "check_every", "window_mode", "secondary_static"),
+                     "check_every", "window_mode", "secondary_static",
+                     "stats", "attr_precision", "debug_mode"),
 )
 def pallas_render_culled_v7(
     rays_o, rays_d, gpack, candidates, cand_near, num, near, far,
@@ -343,7 +367,8 @@ def pallas_render_culled_v7(
     max_hits: int = 16, cluster: int = 64, tile: int = 128,
     interpret: bool = False, alive=None, check_every: int = 8,
     t_split=None, window_mode: int = 0, secondary_static: int = -1,
-    tpack=None,
+    tpack=None, stats: bool = True, attr_precision: str = "highest",
+    debug_mode: int = 0,
 ):
     """Quadric-MXU streaming scan trace.  Same contract as
     pallas_render_culled_v6 - returns [R, OUT_LANES] f32.
@@ -398,7 +423,7 @@ def pallas_render_culled_v7(
         jnp.asarray(transmittance_threshold, jnp.float32),
         jnp.asarray(eps_forward_normalization, jnp.float32),
         jnp.zeros((), jnp.float32),
-        jnp.log(jnp.asarray(transmittance_threshold, jnp.float32)),
+        jnp.zeros((), jnp.float32),  # slot 9 (was log_thr; scan is linear)
     ]), center.astype(jnp.float32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -425,7 +450,11 @@ def pallas_render_culled_v7(
         partial(_render_kernel_v7, cluster=cluster,
                 exp_power=float(exp_power), check_every=check_every,
                 window_mode=window_mode,
-                secondary_static=secondary_static),
+                secondary_static=secondary_static, stats=stats,
+                debug_mode=debug_mode,
+                attr_precision=(jax.lax.Precision.HIGH
+                                if attr_precision == "high"
+                                else jax.lax.Precision.HIGHEST)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((OUT_LANES, R), jnp.float32),
         compiler_params=pltpu.CompilerParams(

@@ -134,6 +134,12 @@ def denoise_specular(final_hwc, diffuse_hwc, normal_hwc, depth_hw,
     spec = jnp.asarray(final_hwc, jnp.float32) - jnp.asarray(
         diffuse_hwc, jnp.float32)
     params = _learned_params() if learned in (None, True) else None
+    # the KPN trains on 1-spp noise (denoise_train.py); out of domain it
+    # can HURT (measured r5: -0.21 dB @8 spp, -0.41 @32) while the a-trous
+    # blend is spp-aware and never harmful - route by sample count unless
+    # the caller explicitly forces the learned path
+    if learned is None and spp > 4:
+        params = None
     if learned is True and params is None:
         # explicit request for the learned path must not silently degrade
         # (eval comparability - ADVICE r4)

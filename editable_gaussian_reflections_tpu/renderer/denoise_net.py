@@ -124,7 +124,12 @@ def denoise_specular_learned(params, spec, normal, depth, rough,
     logits = apply_net(params, feat)
     filtered = apply_kernel(spec, logits)
     w_spp = 1.0 / (1.0 + (spp / 24.0) ** 2)
-    return spec + w_spp * (filtered - spec)
+    # mirror-like pixels (roughness ~ 0) carry near-deterministic GGX
+    # reflections - there is no Monte-Carlo noise to remove, so keep them
+    # raw (the same physics gate as the a-trous path's w_rough)
+    w_rough = jnp.clip((jnp.clip(rough, 0.0, 1.0) - 0.05) / 0.15,
+                       0.0, 1.0)[..., None]
+    return spec + (w_spp * w_rough) * (filtered - spec)
 
 
 def save_params(params, path):

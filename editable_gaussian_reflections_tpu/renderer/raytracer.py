@@ -921,7 +921,8 @@ def _fused_bounce_core(
     max_clusters_secondary: int | None, cull_tile_secondary: int,
     cull_tile_primary: int, split_far: bool, mc_far: int,
     max_hits_far: int, composite_mode: str = "kbuffer",
-    scan_pack=None,
+    scan_pack=None, kernel_stats: bool = True,
+    attr_precision: str = "highest",
 ):
     """The fused per-bounce wavefront loop over a PREPARED ray batch.
 
@@ -1068,8 +1069,13 @@ def _fused_bounce_core(
                     kern = (pallas_render_culled_v4
                             if resident_fits(capacity)
                             else pallas_render_culled_v3)
-                extra = ({"tpack": scan_pack}
-                         if use_scan and scan_pack is not None else {})
+                extra = {}
+                if use_scan:
+                    if scan_pack is not None:
+                        extra["tpack"] = scan_pack
+                    extra["stats"] = kernel_stats
+                    if composite_mode == "scanq":
+                        extra["attr_precision"] = attr_precision
                 out = kern(
                     ro, rd, gpack, cd, cn, nm, near, zfar,
                     exp_power_static, jnp.float32(1.0 if step > 0 else 0.0),
@@ -1231,7 +1237,8 @@ def _fused_bounce_core(
                      "split_far", "mc_far", "split_radius_scale",
                      "max_hits_far", "composite_mode",
                      "rays_per_call", "interpret", "max_clusters_secondary",
-                     "cull_tile_secondary", "cull_tile_primary"),
+                     "cull_tile_secondary", "cull_tile_primary",
+                     "kernel_stats", "attr_precision"),
 )
 def render_frame_fused(
     scene: GaussianScene,
@@ -1256,8 +1263,17 @@ def render_frame_fused(
     split_radius_scale: float = 1.5,
     max_hits_far: int = 0,
     composite_mode: str = "kbuffer",
+    kernel_stats: bool = True,
+    attr_precision: str = "highest",
 ):
     """Whole-frame render where each bounce is ONE fused Pallas kernel.
+
+    `kernel_stats=False` compiles the per-pair diagnostic counters
+    (num_accumulated / num_traversed / chunks) out of the scan kernels -
+    the inference-FPS configuration; the k-buffer kernels ignore it.
+    `attr_precision="high"` drops the scanq attribute dot from 6-pass to
+    3-pass bf16 (the weights are non-negative compositing weights, no
+    cancellation - only the quadric FEATURE dots need f32-exact).
 
     `composite_mode="scan"` swaps the top-K k-buffer kernel for the v6
     drain-free streaming scan composite (ops/pallas/render_kernel_v6.py):
@@ -1317,7 +1333,10 @@ def render_frame_fused(
         (_pad8(mc_far) / cull_tile_secondary if split_far else 0.0),
     ) * cand_bytes
     tile_lcm = max(cull_tile_primary, cull_tile_secondary)
-    cap = max(tile_lcm, int(0.5 * 2**20 / per_ray) // tile_lcm * tile_lcm)
+    # 0.4 MB, not 0.5: the r5 sweep_split run measured ~0.5 MB of windows
+    # and spills next to the prefetched lists and still overflowed the 1 MB
+    # SMEM by 1.6 KB at tile_s=64 with the 0.5 MB cap
+    cap = max(tile_lcm, int(0.4 * 2**20 / per_ray) // tile_lcm * tile_lcm)
     rays_per_call = min(rays_per_call, cap)
     assert R % 256 == 0
     n_call = (R + rays_per_call - 1) // rays_per_call
@@ -1343,6 +1362,7 @@ def render_frame_fused(
         cull_tile_primary=cull_tile_primary, split_far=split_far,
         mc_far=mc_far, max_hits_far=max_hits_far,
         composite_mode=composite_mode, scan_pack=prep["scan_pack"],
+        kernel_stats=kernel_stats, attr_precision=attr_precision,
     )
     unpad = jax.tree_util.tree_map(lambda a: a[:, :R][:, ray_inv], stacked)
     return unpad, final[:R][ray_inv]

@@ -80,6 +80,8 @@ def dispatch_render_frame(scene, cam, settings, key, W, H, *, num_bounces=2,
     max_hits_far = kw.pop("max_hits_far", 0)
     split_radius_scale = kw.pop("split_radius_scale", 1.5)
     composite_mode = kw.pop("composite_mode", "kbuffer")
+    kernel_stats = kw.pop("kernel_stats", True)
+    attr_precision = kw.pop("attr_precision", "highest")
     if composite_mode not in ("kbuffer", "scan", "scanq"):
         raise ValueError(
             f"composite_mode={composite_mode!r}: expected 'kbuffer', "
@@ -97,7 +99,8 @@ def dispatch_render_frame(scene, cam, settings, key, W, H, *, num_bounces=2,
             cull_tile_secondary=tile_secondary,
             split_far=split_far, mc_far=mc_far, max_hits_far=max_hits_far,
             split_radius_scale=split_radius_scale,
-            composite_mode=composite_mode,
+            composite_mode=composite_mode, kernel_stats=kernel_stats,
+            attr_precision=attr_precision,
         )
     return render_frame(
         scene, cam, settings, key, W, H,

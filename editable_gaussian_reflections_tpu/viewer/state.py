@@ -180,6 +180,7 @@ class ViewerState:
                 # faster, streaming-order approximation) compounds with the
                 # downscale; the full-res settled frame re-renders exact
                 bk["composite_mode"] = "scan"
+                bk["kernel_stats"] = False  # preview needs no counters
             steps, final = dispatch_render_frame(
                 scene, cam, settings, key, W, H,
                 num_bounces=self.num_bounces,

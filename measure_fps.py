@@ -29,6 +29,11 @@ def measure_fps(cfg, views, scene_params, settings):
     kwargs = dict(num_bounces=2, max_hits=cfg.max_hits, chunk=cfg.trace_chunk,
                   tile=cfg.ray_tile, jitter=True,
                   **default_backend_kwargs(cfg))
+    if kwargs.get("composite_mode", "kbuffer") in ("scan", "scanq"):
+        # FPS protocol: compile the per-pair diagnostic counters out of the
+        # scan kernels (outputs are bit-identical; the counters are the only
+        # difference - tests/test_render_kernel_v7.py pins this)
+        kwargs["kernel_stats"] = False
 
     # * Warmup (compile)
     for view in views:

@@ -179,3 +179,60 @@ def test_pack_quadric_reproduces_direct_dots():
                                    atol=1e-4)
         np.testing.assert_allclose(nd, ld @ nrm[gi], rtol=1e-4, atol=1e-5)
         assert abs(S[0, 0] - tq[gi, 32]) < 1e-5 * max(1.0, abs(S[0, 0]))
+
+
+def test_v7_stats_off_and_attr_precision():
+    """kernel_stats=False must zero the diagnostic counters and change
+    NOTHING else; attr_precision="high" (3-pass attribute dot - the
+    compositing weights are non-negative, no cancellation) must stay
+    within the same rounding envelope as the v6 pin."""
+    scene, frames, attrs = _room(1024)
+    rays_o, rays_d = _rays()
+    kw = dict(cluster=32, tile=128, exhaustive=True, thr=1e-8,
+              secondary_static=0)
+    ref = _run(pallas_render_culled_v7, frames, attrs, rays_o, rays_d, **kw)
+    ns = _run(pallas_render_culled_v7, frames, attrs, rays_o, rays_d,
+              stats=False, **kw)
+    _assert_close(ns, ref, atol=0.0)  # bit-identical outputs
+    assert np.all(np.asarray(ns["num_traversed"]) == 0)
+    assert np.all(np.asarray(ns["num_accumulated"]) == 0)
+    assert np.any(np.asarray(ref["num_traversed"]) > 0)
+    hi3 = _run(pallas_render_culled_v7, frames, attrs, rays_o, rays_d,
+               attr_precision="high", **kw)
+    _assert_close(hi3, ref, atol=4e-3)
+
+
+def test_frame_scanq_stats_off_matches():
+    """render_frame_fused(kernel_stats=False) - the inference-FPS
+    configuration - must render the identical frame."""
+    from editable_gaussian_reflections_tpu.renderer.raytracer import (
+        CameraParams,
+        RenderSettings,
+        render_frame_fused,
+    )
+    from editable_gaussian_reflections_tpu.scene.gaussian_scene import (
+        from_arrays,
+    )
+    from editable_gaussian_reflections_tpu.utils.synth import (
+        room_camera,
+        room_scene,
+    )
+
+    scene = from_arrays(**room_scene(512), pad_multiple=128)
+    eye, c2w = room_camera()
+    camera = CameraParams(
+        origin=jnp.asarray(eye), c2w=jnp.asarray(c2w),
+        fov_y=jnp.asarray(0.9), znear=jnp.asarray(0.05),
+        zfar=jnp.asarray(50.0))
+    kw = dict(num_bounces=1, max_hits=16, jitter=False, cull_cluster=32,
+              max_clusters=16, interpret=True, rays_per_call=1024)
+    s0, f0 = render_frame_fused(scene, camera, RenderSettings(),
+                                jax.random.PRNGKey(0), 32, 32,
+                                composite_mode="scanq", **kw)
+    s1, f1 = render_frame_fused(scene, camera, RenderSettings(),
+                                jax.random.PRNGKey(0), 32, 32,
+                                composite_mode="scanq", kernel_stats=False,
+                                **kw)
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(s0.overflow),
+                                  np.asarray(s1.overflow))

@@ -123,8 +123,13 @@ def main():
             cull_cluster=args.cluster,
             rays_per_call=rpc, **cfg_kw,
         )
-        steps, final = fn(key)
-        np.asarray(final)                       # force the lazy axon compile
+        try:
+            steps, final = fn(key)
+            np.asarray(final)                   # force the lazy axon compile
+        except Exception as e:  # noqa: BLE001 - sweep survives one bad cfg
+            print(json.dumps({"mc": cfg, "error": str(e)[-300:]}),
+                  flush=True)
+            continue
         ovf = np.asarray(steps.overflow)        # [num_steps, R]
         ovf_by_step = [round(float(o.mean()), 4) for o in ovf]
 

@@ -30,7 +30,9 @@ def main():
                     help="mode:cluster:max_hits:mc_prim:mc_sec[:key=val...]"
                          " extra keys: far=N (split_far w/ mc_far=N),"
                          " tsec=N (cull_tile_secondary), tcut=F (secondary"
-                         " throughput cutoff), kfar=N (max_hits_far)")
+                         " throughput cutoff), kfar=N (max_hits_far),"
+                         " ns=1 (kernel_stats off), ap=high (scanq attr-dot"
+                         " 3-pass)")
     args = ap.parse_args()
 
     import numpy as np
@@ -77,6 +79,8 @@ def main():
         tsec = int(extra.get("tsec", 256))
         tcut = float(extra.get("tcut", 0.0))
         kfar = int(extra.get("kfar", 0))
+        nstats = int(extra.get("ns", 0))
+        ap = extra.get("ap", "highest")
         cfg_settings = settings if tcut <= 0 else settings._replace(
             secondary_throughput_threshold=tcut)
         fn = lambda kk: render_frame_fused(  # noqa: E731
@@ -85,6 +89,7 @@ def main():
             max_clusters_secondary=mcs, composite_mode=mode,
             split_far=mc_far > 0, mc_far=max(mc_far, 32),
             cull_tile_secondary=tsec, max_hits_far=kfar,
+            kernel_stats=not nstats, attr_precision=ap,
         )
         try:
             steps, final = fn(key)
@@ -116,7 +121,7 @@ def main():
         print(json.dumps(rec), flush=True)
         results.append((rec, dict(mode=mode, cl=cl, k=k, mcp=mcp, mcs=mcs,
                                   mc_far=mc_far, tsec=tsec, tcut=tcut,
-                                  kfar=kfar)))
+                                  kfar=kfar, nstats=nstats, ap=ap)))
 
     # record the fastest HONEST config (starved < 1% on EVERY pass - the
     # bench.py adoption hook, VERDICT r4 #2) in parse_render_config format
@@ -145,6 +150,8 @@ def main():
             rec = dict(mc=mc_str, mrays=round(frame_mrays, 3),
                        starved=best["starved_per_pass"], max_hits=p["k"],
                        cluster=p["cl"], mode=p["mode"],
+                       kernel_stats=not p["nstats"],
+                       attr_precision=p["ap"],
                        psnr_vs_kbuffer=best.get("psnr_vs_kbuffer"))
             os.makedirs(os.path.dirname(path), exist_ok=True)
             json.dump(rec, open(path, "w"))

@@ -196,19 +196,30 @@ def train(args):
         return loss_fn(params, va, jax.random.PRNGKey(0))
 
     base = float(np.asarray(loss_fn(params, va, jax.random.PRNGKey(0))))
+    # best-val checkpointing: the tiny train set overfits within a few
+    # hundred steps (measured r5: val 0.01079@150 -> 0.01122@1500), so ship
+    # the best-validation params, checked frequently
+    best_vl, best_params, best_step = base, params, 0
     t0 = time.time()
+    check = max(1, args.steps // 30)
     for i in range(args.steps):
         params, opt_state, l = step(params, opt_state,
                                     jax.random.PRNGKey(i + 1))
-        if (i + 1) % max(1, args.steps // 10) == 0:
+        if (i + 1) % check == 0:
             vl = float(np.asarray(val_loss(params)))
-            print(f"step {i + 1}/{args.steps} train {float(np.asarray(l)):.5f}"
-                  f" val {vl:.5f} ({time.time() - t0:.0f}s)", flush=True)
+            if vl < best_vl:
+                best_vl, best_step = vl, i + 1
+                best_params = jax.tree_util.tree_map(lambda x: x, params)
+            if (i + 1) % max(1, args.steps // 10) == 0:
+                print(f"step {i + 1}/{args.steps} "
+                      f"train {float(np.asarray(l)):.5f}"
+                      f" val {vl:.5f} best {best_vl:.5f}@{best_step}"
+                      f" ({time.time() - t0:.0f}s)", flush=True)
 
-    dn.save_params(params, args.weights)
-    vl = float(np.asarray(val_loss(params)))
+    dn.save_params(best_params, args.weights)
     report = dict(weights=args.weights, steps=args.steps,
-                  val_l1_init=round(base, 5), val_l1=round(vl, 5))
+                  val_l1_init=round(base, 5), val_l1=round(best_vl, 5),
+                  best_step=best_step)
     print(json.dumps(report), flush=True)
 
 
