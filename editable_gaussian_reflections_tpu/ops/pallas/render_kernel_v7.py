@@ -452,8 +452,10 @@ def pallas_render_culled_v7(
                 window_mode=window_mode,
                 secondary_static=secondary_static, stats=stats,
                 debug_mode=debug_mode,
-                attr_precision=(jax.lax.Precision.HIGH
-                                if attr_precision == "high"
+                # Mosaic's dot lowering supports DEFAULT and HIGHEST only
+                # (Precision.HIGH raises NotImplementedError, measured r5)
+                attr_precision=(jax.lax.Precision.DEFAULT
+                                if attr_precision == "bf16"
                                 else jax.lax.Precision.HIGHEST)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((OUT_LANES, R), jnp.float32),

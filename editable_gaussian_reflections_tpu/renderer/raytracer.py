@@ -1040,8 +1040,13 @@ def _fused_bounce_core(
                 tpd = tpd / jnp.maximum(
                     jnp.linalg.norm(tpd, axis=-1, keepdims=True), 1e-12)
                 cid = jnp.where(cands < 0, 0, cands)
+                # HIGHEST: at the default bf16 matmul precision the depth
+                # keys round differently on TPU vs CPU, permuting near-tie
+                # candidates and making the streaming composite order
+                # backend-dependent (hw_equality scan_b2 divergence, r5)
                 cdep = jnp.einsum(
-                    "tmc,tc->tm", bounds.center[cid] - tpo[:, None, :], tpd)
+                    "tmc,tc->tm", bounds.center[cid] - tpo[:, None, :], tpd,
+                    precision=jax.lax.Precision.HIGHEST)
                 ckey = jnp.where(cands < 0, jnp.inf, cdep)
                 corder = jnp.argsort(ckey, axis=1)
                 cands = jnp.take_along_axis(cands, corder, axis=1)
@@ -1271,9 +1276,10 @@ def render_frame_fused(
     `kernel_stats=False` compiles the per-pair diagnostic counters
     (num_accumulated / num_traversed / chunks) out of the scan kernels -
     the inference-FPS configuration; the k-buffer kernels ignore it.
-    `attr_precision="high"` drops the scanq attribute dot from 6-pass to
-    3-pass bf16 (the weights are non-negative compositing weights, no
-    cancellation - only the quadric FEATURE dots need f32-exact).
+    `attr_precision="bf16"` drops the scanq attribute dot from 6-pass
+    f32-exact to single-pass bf16 (the weights are non-negative
+    compositing weights, no cancellation - only the quadric FEATURE dots
+    need f32-exact); Mosaic supports no intermediate precision.
 
     `composite_mode="scan"` swaps the top-K k-buffer kernel for the v6
     drain-free streaming scan composite (ops/pallas/render_kernel_v6.py):

@@ -197,9 +197,12 @@ def test_v7_stats_off_and_attr_precision():
     assert np.all(np.asarray(ns["num_traversed"]) == 0)
     assert np.all(np.asarray(ns["num_accumulated"]) == 0)
     assert np.any(np.asarray(ref["num_traversed"]) > 0)
-    hi3 = _run(pallas_render_culled_v7, frames, attrs, rays_o, rays_d,
-               attr_precision="high", **kw)
-    _assert_close(hi3, ref, atol=4e-3)
+    # bf16 = single-pass attribute dot (Mosaic supports no intermediate
+    # precision); loose tolerance covers the true-bf16 hardware runs -
+    # interpret mode computes it in f32 so the CPU delta is ~0
+    bf = _run(pallas_render_culled_v7, frames, attrs, rays_o, rays_d,
+              attr_precision="bf16", **kw)
+    _assert_close(bf, ref, atol=3e-2)
 
 
 def test_frame_scanq_stats_off_matches():

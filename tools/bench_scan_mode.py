@@ -31,8 +31,8 @@ def main():
                          " extra keys: far=N (split_far w/ mc_far=N),"
                          " tsec=N (cull_tile_secondary), tcut=F (secondary"
                          " throughput cutoff), kfar=N (max_hits_far),"
-                         " ns=1 (kernel_stats off), ap=high (scanq attr-dot"
-                         " 3-pass)")
+                         " ns=1 (kernel_stats off), ap=bf16 (scanq attr-dot"
+                         " single-pass bf16)")
     args = ap.parse_args()
 
     import numpy as np

@@ -176,9 +176,9 @@ def main():
         mean_chunks = float(jnp.mean(out[:, 15]))
         row["mean_chunks_per_tile"] = round(mean_chunks, 1)
         for label, kw in [("nostats", dict(stats=False)),
-                          ("ap_high", dict(attr_precision="high")),
-                          ("nostats_ap_high",
-                           dict(stats=False, attr_precision="high"))]:
+                          ("ap_bf16", dict(attr_precision="bf16")),
+                          ("nostats_ap_bf16",
+                           dict(stats=False, attr_precision="bf16"))]:
             dt, _ = run(ro, rd, cands, cnear, num, sec, args.iters, 0.01,
                         **kw)
             row[label + "_ms"] = round(dt * 1e3, 3)
