@@ -135,13 +135,29 @@ def main():
         return cands, cnear, num
 
     def run(ro, rd, cands, cnear, num, sec, iters, thr, **kw):
-        fn = jax.jit(lambda a, b: pallas_render_culled_v7(
-            a, b, gpack, cands, cnear, num,
-            jnp.float32(0.05), jnp.float32(50.0),
-            3.0, jnp.float32(sec), jnp.float32(3.0), jnp.float32(0.1),
-            transmittance_threshold=thr,
-            max_hits=16, cluster=args.cluster, tile=TILE,
-            tpack=(tq, center), secondary_static=sec, **kw))
+        # slab the rays so each call's prefetched candidate lists stay
+        # under ~0.4 MB of the 1 MB SMEM (the raytracer's clamp; a direct
+        # 65536-ray call at mc=768 is a 1.5 MB prefetch and won't compile)
+        mc = cands.shape[1]
+        slab_tiles = max(1, int(0.4 * 2**20 / (mc * 4)) )
+        slab = min(ro.shape[0], slab_tiles * TILE)
+        n_slab = (ro.shape[0] + slab - 1) // slab
+
+        def call(a, b, cd, cn, nm):
+            return pallas_render_culled_v7(
+                a, b, gpack, cd, cn, nm,
+                jnp.float32(0.05), jnp.float32(50.0),
+                3.0, jnp.float32(sec), jnp.float32(3.0), jnp.float32(0.1),
+                transmittance_threshold=thr,
+                max_hits=16, cluster=args.cluster, tile=TILE,
+                tpack=(tq, center), secondary_static=sec, **kw)
+
+        fn = jax.jit(lambda a, b: jnp.concatenate([
+            call(a[i * slab:(i + 1) * slab], b[i * slab:(i + 1) * slab],
+                 cands[i * slab // TILE:(i + 1) * slab // TILE],
+                 cnear[i * slab // TILE:(i + 1) * slab // TILE],
+                 num[i * slab // TILE:(i + 1) * slab // TILE])
+            for i in range(n_slab)], axis=0))
         out = fn(ro, rd)
         np.asarray(out)
         t0 = time.perf_counter()
