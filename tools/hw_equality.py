@@ -164,19 +164,26 @@ def main():
     ap.add_argument("--out", default="artifacts/hw_eq.npz")
     ap.add_argument("--compare", default=None,
                     help="baseline npz from the other backend")
+    ap.add_argument("--recompare", action="store_true",
+                    help="skip rendering; reload --out and re-run the "
+                         "comparison (offline metric refresh)")
     args = ap.parse_args()
 
     import numpy as np
 
-    import jax
+    if args.recompare:
+        arrays = dict(np.load(args.out))
+    else:
+        import jax
 
-    interpret = jax.default_backend() == "cpu"
-    print(f"backend={jax.default_backend()} interpret={interpret}",
-          flush=True)
-    arrays = compute(interpret)
-    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    np.savez_compressed(args.out, **arrays)
-    print("wrote", args.out)
+        interpret = jax.default_backend() == "cpu"
+        print(f"backend={jax.default_backend()} interpret={interpret}",
+              flush=True)
+        arrays = compute(interpret)
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)),
+                    exist_ok=True)
+        np.savez_compressed(args.out, **arrays)
+        print("wrote", args.out)
 
     if args.compare:
         base = np.load(args.compare)
@@ -193,6 +200,17 @@ def main():
             }
             if a.ndim == 3:
                 row["psnr_delta"] = _psnr(a, b)
+                # the DISPLAY metric: raw-HDR PSNR is dominated by a few
+                # hot specular pixels (scan_b2 measured max_abs 185 from
+                # bounce-1 re-tiling chaos); tonemapped+clamped is what a
+                # viewer compares
+                from editable_gaussian_reflections_tpu.ops.tonemap import (
+                    tonemap,
+                )
+                import jax.numpy as jnp
+                ta = np.clip(np.asarray(tonemap(jnp.asarray(a))), 0, 1)
+                tb = np.clip(np.asarray(tonemap(jnp.asarray(b))), 0, 1)
+                row["psnr_tonemapped"] = _psnr(ta, tb)
             report[k] = row
             print(json.dumps({k: row}), flush=True)
         path = os.path.splitext(args.out)[0] + "_vs_baseline.json"
