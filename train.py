@@ -66,7 +66,7 @@ def _np_tonemap(x):
 
 
 def training_report(cfg, scene, state, tb_writer, iteration, start_time,
-                    settings, num_bounces):
+                    settings, num_bounces, max_clusters=None):
     """train.py:75-169: time.txt, num_gaussians.txt, per-split PSNR +
     validation CSVs + preview grids."""
     delta = time.time() - start_time
@@ -94,11 +94,20 @@ def training_report(cfg, scene, state, tb_writer, iteration, start_time,
             from editable_gaussian_reflections_tpu.renderer.render import (
                 default_backend_kwargs,
             )
+            bk = default_backend_kwargs(cfg)
+            if max_clusters and bk.get("use_culling"):
+                # the training step's budget grows at far-field injection
+                # (see the cull_kw resize below); the EVAL render must match
+                # or the reported PSNR/cull_overflow measure an artificially
+                # starved render (r4's "diffuse decay" was partly this -
+                # eval overflow held at 0.12-0.14 post-injection while the
+                # training gradients were already fixed)
+                bk["max_clusters"] = max(bk["max_clusters"], max_clusters)
             pkg = render(
                 viewpoint, state.scene, settings,
                 num_bounces=num_bounces, max_hits=cfg.max_hits,
                 chunk=cfg.trace_chunk, tile=cfg.ray_tile, denoise=True,
-                **default_backend_kwargs(cfg),
+                **bk,
             )
             diffuse = np.clip(_np_tonemap(pkg.rgb[0]), 0, 1)
             specular = np.clip(_np_tonemap(pkg.rgb[1:].sum(0)), 0, 1)
@@ -300,7 +309,8 @@ def main(cfg: Config, resume: bool = False):
 
         if iteration in cfg.test_iterations:
             training_report(cfg, scene, state, tb_writer, iteration,
-                            start_time, settings, num_bounces)
+                            start_time, settings, num_bounces,
+                            max_clusters=cull_kw.get("max_clusters"))
         if iteration in cfg.save_iterations:
             print(f"\n[ITER {iteration}] Saving Gaussians")
             scene.save(iteration, state.scene)
