@@ -806,6 +806,12 @@ def _prepare_fused_frame(
     uniforms (linear-pixel-order stream), scene bbox and the auto split
     sphere.  Returns a dict of everything _fused_bounce_core consumes plus
     (ray_perm, ray_inv, R)."""
+    if composite_mode not in ("kbuffer", "scan", "scanq"):
+        # composite_mode is a static jit arg: this raises at trace time, so a
+        # typo'd config can never silently render with the wrong kernel
+        raise ValueError(
+            f"composite_mode={composite_mode!r}: expected one of "
+            "'kbuffer' | 'scan' | 'scanq'")
     from ..ops.culling import (
         cluster_bounds,
         morton_order,
