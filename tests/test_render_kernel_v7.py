@@ -239,3 +239,35 @@ def test_frame_scanq_stats_off_matches():
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
     np.testing.assert_array_equal(np.asarray(s0.overflow),
                                   np.asarray(s1.overflow))
+
+
+def test_unknown_composite_mode_raises():
+    """A typo'd composite_mode must fail loudly at trace time instead of
+    silently rendering with the k-buffer kernels (ADVICE r4)."""
+    import pytest
+
+    from editable_gaussian_reflections_tpu.renderer.raytracer import (
+        CameraParams,
+        RenderSettings,
+        render_frame_fused,
+    )
+    from editable_gaussian_reflections_tpu.scene.gaussian_scene import (
+        from_arrays,
+    )
+    from editable_gaussian_reflections_tpu.utils.synth import (
+        room_camera,
+        room_scene,
+    )
+
+    scene = from_arrays(**room_scene(512), pad_multiple=128)
+    eye, c2w = room_camera()
+    camera = CameraParams(
+        origin=jnp.asarray(eye), c2w=jnp.asarray(c2w),
+        fov_y=jnp.asarray(0.9), znear=jnp.asarray(0.05),
+        zfar=jnp.asarray(50.0))
+    with pytest.raises(ValueError, match="composite_mode"):
+        render_frame_fused(scene, camera, RenderSettings(),
+                           jax.random.PRNGKey(0), 32, 32, num_bounces=1,
+                           max_hits=16, jitter=False, cull_cluster=32,
+                           max_clusters=16, interpret=True,
+                           rays_per_call=1024, composite_mode="scnaq")
