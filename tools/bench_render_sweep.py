@@ -28,7 +28,9 @@ def parse_render_config(cfg: str):
     mc_far, k_far, tcut = 0, 0, -1.0
     if raw and raw[-1].startswith("tc"):
         # throughput cutoff: tc3 = kill secondary rays below 1e-3
-        tcut = 10.0 ** -int(raw.pop()[2:])
+        # (fractional exponents allowed: tc2.52 ~= 3e-3, so the
+        # bench_scan_mode adoption hook round-trips non-decade cutoffs)
+        tcut = 10.0 ** -float(raw.pop()[2:])
     if raw and raw[-1].startswith("k"):
         k_far = int(raw.pop()[1:])
     if raw and raw[-1].startswith("s"):

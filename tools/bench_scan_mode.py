@@ -141,7 +141,10 @@ def main():
                 mc_str += f":k{p['kfar']}"
         if p["tcut"] > 0:
             import math
-            mc_str += f":tc{round(-math.log10(p['tcut']))}"
+            # fractional exponent so non-decade cutoffs (e.g. 3e-3 ->
+            # tc2.52) round-trip through parse_render_config exactly
+            # instead of collapsing to the nearest decade
+            mc_str += f":tc{round(-math.log10(p['tcut']), 2):g}"
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "artifacts", "bench_best.json")
         try:
