@@ -30,17 +30,24 @@ def _emit_error(msg: str) -> None:
 
 
 def _probe_backend(timeout: int = 300) -> str | None:
-    """Check that a jax backend initializes, in a subprocess with a hard
-    timeout: when the axon tunnel is down, jax.devices() HANGS forever in
-    make_c_api_client (BENCH/MULTICHIP r03), so an in-process try/except
-    cannot protect us.  Returns the backend name or None on failure."""
+    """Check that a jax backend initializes AND can compile + transfer a
+    trivial program, in a subprocess with a hard timeout.  Two observed
+    axon failure modes motivate this: (a) when the tunnel is down,
+    jax.devices() HANGS forever in make_c_api_client (BENCH/MULTICHIP
+    r03); (b) when the pool service is degraded, device enumeration
+    succeeds but the first compile/device->host transfer never returns
+    (r5: a 512x512 matmul stuck >5 min while jax.devices() answered in
+    seconds).  An in-process try/except cannot protect against either.
+    Returns the backend name or None on failure."""
     import subprocess
     import sys
 
     try:
         out = subprocess.run(
             [sys.executable, "-c",
-             "import jax; print('BACKEND=' + jax.default_backend())"],
+             "import jax, jax.numpy as jnp, numpy as np;"
+             "v = float(np.asarray(jax.jit(lambda x: x * 2)(jnp.ones(8)))[0]);"
+             "print('BACKEND=' + jax.default_backend() if v == 2.0 else '')"],
             capture_output=True, text=True, timeout=timeout,
         )
     except subprocess.TimeoutExpired:
@@ -51,11 +58,29 @@ def _probe_backend(timeout: int = 300) -> str | None:
     return None
 
 
+def _arm_watchdog(seconds: int = 2400) -> None:
+    """Last-resort deadline: if the real bench wedges AFTER the probe
+    passed (e.g. the service degrades mid-run), still print the one JSON
+    line instead of hanging the driver."""
+    import os
+    import signal
+
+    def _fire(signum, frame):  # noqa: ARG001
+        _emit_error(f"watchdog: bench exceeded {seconds}s "
+                    "(backend degraded mid-run?)")
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(seconds)
+
+
 def main():
     backend = _probe_backend()
     if backend is None:
-        _emit_error("jax backend init failed or hung (axon tunnel down?)")
+        _emit_error("jax backend init/compile/transfer failed or hung "
+                    "(axon tunnel down or pool degraded?)")
         return
+    _arm_watchdog()
     try:
         _bench()
     except Exception as e:  # noqa: BLE001 — one JSON line, always
